@@ -1,0 +1,143 @@
+"""Differentiable bitmap textures (reference: src/core/bitmap.cpp).
+
+A :class:`Bitmap` stores data as a ``(H, W, C)`` float32 array plus a
+differentiable UV transform (scale / rotation / translation) and evaluates
+with bilinear filtering and wrap-around, including the special lat-long
+environment-map wrap mode (``bitmap.cpp:87-110``).
+
+Constant "textures" are ``(1, 1, C)`` arrays — the eval shortcut matches the
+reference (``bitmap.cpp:54-59``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from .types import mutable_pytree
+
+
+def _eval_bitmap(data, scale, rot, trans, uv, flip_v: bool, envmap_mode: bool):
+    """Bilinear texture lookup with differentiable UV transform.
+
+    ``data``: (H, W, C); ``uv``: (..., 2).  Returns (..., C).
+    Follows bitmap.cpp:61-131 step for step.
+    """
+    h, w = data.shape[0], data.shape[1]
+    if h == 1 and w == 1:
+        return jnp.broadcast_to(data[0, 0], uv.shape[:-1] + (data.shape[-1],))
+
+    c, s = jnp.cos(rot), jnp.sin(rot)
+    x = (uv[..., 0] - 0.5) * c + (uv[..., 1] - 0.5) * s + 0.5
+    y = -(uv[..., 0] - 0.5) * s + (uv[..., 1] - 0.5) * c + 0.5
+    if flip_v:
+        y = -y
+    x = x * scale
+    y = y * scale
+    x = x - (-0.5 + scale / 2.0)
+    y = y + (-0.5 + scale / 2.0)
+    x = x + trans[0]
+    y = y + trans[1]
+
+    if envmap_mode:
+        x = x - 0.5 / w
+        x = x - jnp.floor(x)
+        y = y - jnp.floor(y)
+        x = x * w
+        y = y * (h - 1)
+        px = jnp.floor(x).astype(jnp.int32)
+        py = jnp.floor(y).astype(jnp.int32)
+        w1x, w1y = x - px, y - py
+        py = jnp.minimum(py, h - 2)
+        xp1 = jnp.mod(px + 1, w)
+    else:
+        x = x - jnp.floor(x)
+        y = y - jnp.floor(y)
+        x = x * (w - 1)
+        y = y * (h - 1)
+        px = jnp.floor(x).astype(jnp.int32)
+        py = jnp.floor(y).astype(jnp.int32)
+        w1x, w1y = x - px, y - py
+        px = jnp.minimum(px, w - 2)
+        py = jnp.minimum(py, h - 2)
+        xp1 = px + 1
+
+    px = jnp.clip(px, 0, w - 1)
+    xp1 = jnp.clip(xp1, 0, w - 1)
+    py = jnp.clip(py, 0, h - 1)
+
+    v00 = data[py, px]
+    v10 = data[py, xp1]
+    v01 = data[py + 1, px]
+    v11 = data[py + 1, xp1]
+    w0x, w0y = 1.0 - w1x, 1.0 - w1y
+    v0 = w0x[..., None] * v00 + w1x[..., None] * v10
+    v1 = w0x[..., None] * v01 + w1x[..., None] * v11
+    return w0y[..., None] * v0 + w1y[..., None] * v1
+
+
+@mutable_pytree(leaves=("data", "scale", "rot", "trans"))
+class Bitmap:
+    """Mutable texture object: ``data`` (H, W, C) plus UV transform leaves."""
+
+    def __init__(self, data, scale=1.0, rot=0.0, trans=(0.0, 0.0)):
+        self.data = jnp.asarray(data, jnp.float32)
+        self.scale = jnp.float32(scale)
+        self.rot = jnp.float32(rot)
+        self.trans = jnp.asarray(trans, jnp.float32)
+
+    @staticmethod
+    def from_value(value, channels: int) -> "Bitmap":
+        arr = np.asarray(value, np.float32).reshape(-1)
+        if arr.size == 1 and channels == 3:
+            arr = np.repeat(arr, 3)
+        assert arr.size == channels, f"expected {channels} channels, got {arr.size}"
+        return Bitmap(arr.reshape(1, 1, channels))
+
+    @staticmethod
+    def from_array(array) -> "Bitmap":
+        arr = jnp.asarray(array, jnp.float32)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        assert arr.ndim == 3
+        return Bitmap(arr)
+
+    def fill(self, value):
+        arr = np.asarray(value, np.float32).reshape(-1)
+        self.data = jnp.asarray(arr, jnp.float32).reshape(1, 1, arr.size)
+
+    @property
+    def resolution(self):
+        return (self.data.shape[1], self.data.shape[0])  # (W, H)
+
+    @property
+    def channels(self) -> int:
+        return self.data.shape[-1]
+
+    def eval(self, uv, flip_v: bool = True, envmap_mode: bool = False):
+        """Evaluate at (..., 2) uv; returns (..., C)."""
+        return _eval_bitmap(
+            self.data, self.scale, self.rot, self.trans, uv, flip_v, envmap_mode
+        )
+
+    def eval1(self, uv, flip_v: bool = True):
+        """Single-channel convenience: returns (...,)."""
+        return self.eval(uv, flip_v)[..., 0]
+
+
+def Bitmap1f(value=0.0) -> Bitmap:
+    """Reference-compatible constructor for 1-channel bitmaps."""
+    arr = np.asarray(value, np.float32)
+    if arr.ndim >= 2:
+        return Bitmap.from_array(arr if arr.ndim == 3 else arr[..., None])
+    return Bitmap.from_value(arr, 1)
+
+
+def Bitmap3f(value=(0.5, 0.5, 0.5)) -> Bitmap:
+    """Reference-compatible constructor for 3-channel bitmaps."""
+    arr = np.asarray(value, np.float32)
+    if arr.ndim >= 3:
+        return Bitmap.from_array(arr)
+    return Bitmap.from_value(arr, 3)

@@ -1,0 +1,167 @@
+"""Integrator base: interior render loop + primary-edge boundary term
+(reference: src/integrator/integrator.cpp).
+
+``renderC`` computes the primal image; ``renderD`` additionally adds the
+derivative-only boundary terms (``value - stop_gradient(value)``) so that
+``jax.jvp``/``jax.grad`` of ``renderD`` produce the full path-space gradient
+while its primal equals ``renderC``.
+
+Jitting strategy: each (integrator, render-kind, options, scene-treedef)
+combination traces once; scene data flows as a pytree argument so parameter
+updates never retrigger compilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Ray, RenderOption
+from ..core.sampler import Sampler
+from ..core.math import scrub_nonfinite
+from ..ops.image import splat_add, interior_average
+from ..scene.scene import Scene, SceneData
+from ..sensor.sensor import sample_primary_edge
+
+# Sampler stream salts for the three independent estimators
+# (reference: three Sampler instances, scene.cpp:52).
+STREAM_INTERIOR = 0
+STREAM_PRIMARY = 1
+STREAM_SECONDARY = 2
+
+
+def _opts_key(opts: RenderOption):
+    return (opts.width, opts.height, opts.spp, opts.sppe, opts.sppse)
+
+
+class Integrator:
+    """Base class; subclasses implement Li (and optionally secondary edges)."""
+
+    def __init__(self):
+        self._jit_cache = {}
+
+    # -- subclass interface --------------------------------------------------
+    def Li(self, sd: SceneData, sampler: Sampler, ray: Ray, active, diff: bool):
+        raise NotImplementedError
+
+    def render_secondary_edges(self, sd, opts, sensor_id, seed):
+        """Return derivative-only (value, pixel_idx) or None."""
+        return None
+
+    # -- public API (psdr.cpp:420-421) ----------------------------------------
+    def renderC(self, scene: Scene, sensor_id: int = 0, seed: int = 0,
+                pix_id=None):
+        """Primal render (reference Integrator::renderC)."""
+        sd = jax.lax.stop_gradient(scene.data)
+        fn = self._get_jit("C", _opts_key(scene.opts), sensor_id,
+                           pix_id is not None)
+        return fn(sd, jnp.uint32(seed), pix_id)
+
+    def renderD(self, scene: Scene, sensor_id: int = 0, seed: int = 0,
+                pix_id=None):
+        """Differentiable render: interior + boundary terms
+        (reference Integrator::renderD).
+
+        Re-runs the traced scene compile so gradients flow from the image to
+        every scene parameter currently set on the python scene objects.
+        """
+        sd = scene.configure_data(scene._active_sensors)
+        fn = self._get_jit("D", _opts_key(scene.opts), sensor_id,
+                           pix_id is not None)
+        return fn(sd, jnp.uint32(seed), pix_id)
+
+    # -- machinery -------------------------------------------------------------
+    def _get_jit(self, kind: str, opts_key, sensor_id: int, has_pix: bool):
+        cache_key = (kind, opts_key, sensor_id, has_pix)
+        if cache_key not in self._jit_cache:
+            opts = RenderOption(
+                width=opts_key[0], height=opts_key[1], spp=opts_key[2],
+                sppe=opts_key[3], sppse=opts_key[4],
+            )
+
+            def run(sd, seed, pix_id):
+                return self.render_impl(sd, opts, sensor_id, seed, pix_id, kind)
+
+            self._jit_cache[cache_key] = jax.jit(run)
+        return self._jit_cache[cache_key]
+
+    def render_impl(self, sd: SceneData, opts: RenderOption, sensor_id: int,
+                    seed, pix_id, kind: str):
+        diff = kind == "D"
+        result = self._render_interior(sd, opts, sensor_id, seed, pix_id, diff)
+        if diff and opts.sppe > 0 and sd.sensors[sensor_id].edge_info is not None:
+            result = result + self._render_primary_edges(
+                sd, opts, sensor_id, seed
+            )
+        if diff and opts.sppse > 0 and sd.sec_edge is not None:
+            se = self.render_secondary_edges(sd, opts, sensor_id, seed)
+            if se is not None:
+                value, idx = se
+                result = result + splat_add(value, idx, opts.num_pixels)
+        return result
+
+    # interior estimator (integrator.cpp:103-176)
+    def _render_interior(self, sd, opts, sensor_id, seed, pix_id, diff: bool):
+        if not diff:
+            sd = jax.lax.stop_gradient(sd)
+        sensor = sd.sensors[sensor_id]
+        if pix_id is None:
+            n_pix = opts.num_pixels
+            pix = jnp.arange(n_pix, dtype=jnp.int32)
+        else:
+            pix = jnp.asarray(pix_id, jnp.int32)
+            n_pix = pix.shape[0]
+        if opts.spp == 0:
+            return jnp.zeros((n_pix, 3), jnp.float32)
+
+        spp = opts.spp
+        n_samples = n_pix * spp
+        sample_pix = jnp.repeat(pix, spp)
+        # global sample index makes any pixel partition reproduce the
+        # full-frame sample set exactly (batch_pix contract)
+        lane = sample_pix.astype(jnp.uint32) * jnp.uint32(spp) + jnp.tile(
+            jnp.arange(spp, dtype=jnp.uint32), n_pix
+        )
+        sampler = Sampler(seed + jnp.uint32(STREAM_INTERIOR), lane)
+
+        x = (sample_pix % opts.width).astype(jnp.float32)
+        y = (sample_pix // opts.width).astype(jnp.float32)
+        base = jnp.stack([x, y], axis=-1)
+        samples = (base + sampler.next_2d()) / jnp.asarray(
+            [opts.width, opts.height], jnp.float32
+        )
+        ray = sensor.sample_primary_ray(samples, diff=diff)
+        active = jnp.ones((n_samples,), bool)
+        value = self.Li(sd, sampler, ray, active, diff)
+        value = scrub_nonfinite(value)
+        return interior_average(value, n_pix, spp)
+
+    # primary-edge boundary term (integrator.cpp:179-198)
+    def _render_primary_edges(self, sd, opts, sensor_id, seed):
+        sensor = sd.sensors[sensor_id]
+        n_samples = opts.num_pixels * opts.sppe
+        lane = jnp.arange(n_samples, dtype=jnp.uint32)
+        sampler = Sampler(seed + jnp.uint32(STREAM_PRIMARY), lane)
+
+        es = sample_primary_edge(sensor, sampler.next_1d())
+        valid = es.idx >= 0
+        sd_det = jax.lax.stop_gradient(sd)
+        # detached radiance difference across the edge; the sampler stream is
+        # shared across both sides like the reference's sequential Li calls
+        li_n = self.Li(sd_det, sampler, es.ray_n, valid, diff=False)
+        li_p = self.Li(sd_det, sampler, es.ray_p, valid, diff=False)
+        delta_l = jax.lax.stop_gradient(li_n - li_p)
+        from ..core.math import safe_div
+
+        value = es.x_dot_n[..., None] * safe_div(
+            delta_l, es.pdf[..., None]
+        )
+        value = scrub_nonfinite(value)
+        if opts.sppe > 1:
+            value = value / float(opts.sppe)
+        value = value - jax.lax.stop_gradient(value)  # derivative-only
+        value = jnp.where(valid[..., None], value, 0.0)
+        return splat_add(value, es.idx, opts.num_pixels)

@@ -1,0 +1,205 @@
+"""Secondary-edge (visibility) boundary term shared by PathTracer and Direct
+(reference: src/integrator/path.cpp:130-294; duplicated in direct.cpp:135-297).
+
+The estimator samples a point p0 on a silhouette-candidate edge and a point
+p2 on an emitter, completes the boundary segment by tracing p0 -> -dir to the
+receiver p1, projects p1 to the sensor, and accumulates
+
+    f(p1) * Le(p2) * base_v * W_e / pdf  *  dot(n, u2)
+
+where only ``dot(n, u2)`` (the normal velocity of the edge point, computed by
+differentiably re-intersecting the shadow ray with the emitter triangle)
+carries derivatives; everything else is detached (path.cpp:171-270).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Ray, EPSILON, SHADOW_EPSILON
+from ..core.math import (
+    normalize, norm, cross, dot, safe_div, bilinear, ray_intersect_triangle,
+    scrub_nonfinite,
+)
+from ..core.sampler import Sampler
+from ..core.distribution import HyperCubeDistribution
+from ..scene.scene import SceneData
+
+
+def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
+    """Returns (pixel_idx, value).
+
+    ``diff=True``: value is derivative-only (``result - detach(result)``).
+    ``diff=False``: value is the detached guiding integrand (no normal
+    velocity factor), used by ``preprocess_secondary_edges``.
+    """
+    bss = sd.sample_boundary_segment_direct(sample3)
+    valid = bss.is_valid
+
+    _p0 = jax.lax.stop_gradient(bss.p0)
+    _p2 = bss.p2
+    _dir = normalize(_p2 - _p0)
+
+    sd_det = jax.lax.stop_gradient(sd)
+
+    # visibility p0 -> p2 must reach the emitter point (path.cpp:186-191)
+    _its2 = sd_det.ray_intersect(Ray(_p0, _dir), valid, mode="path")
+    valid = (
+        valid
+        & sd_det.is_emitter(_its2, valid)
+        & _its2.valid
+        & (norm(_its2.p - _p2) < SHADOW_EPSILON)
+    )
+
+    # opposite ray finds the receiver p1 (path.cpp:194-196)
+    _its1 = sd_det.ray_intersect(Ray(_p0, -_dir), valid, mode="path")
+    valid = valid & _its1.valid
+    _p1 = _its1.p
+
+    # project p1 to the image plane (path.cpp:199)
+    sds = sensor.sample_direct(_p1)
+    valid = valid & sds.is_valid
+
+    # differentiable camera ray toward that pixel (path.cpp:203-215)
+    if diff:
+        camera_ray = sensor.sample_primary_ray(sds.q, diff=True)
+        its1 = sd.ray_intersect(camera_ray, valid, mode="solid")
+        valid = (
+            valid
+            & jax.lax.stop_gradient(its1.valid)
+            & (norm(jax.lax.stop_gradient(its1.p) - _p1) < SHADOW_EPSILON)
+        )
+        valid = valid & (sd.bsdf_slot(jax.lax.stop_gradient(its1)) >= 0)
+    else:
+        camera_ray = sensor.sample_primary_ray(sds.q, diff=False)
+        its1 = sd_det.ray_intersect(camera_ray, valid, mode="path")
+        valid = valid & its1.valid & (norm(its1.p - _p1) < SHADOW_EPSILON)
+        valid = valid & (sd_det.bsdf_slot(its1) >= 0)
+
+    # change of variables from edge-point to image sample (path.cpp:219-227)
+    dist = norm(_p2 - _p1)
+    cos2 = jnp.abs(dot(bss.n, -_dir))
+    e = cross(bss.edge, _dir)
+    sinphi = norm(e)
+    proj = normalize(cross(e, bss.n))
+    sinphi2 = norm(cross(_dir, proj))
+    base_v = safe_div(_its1.t, dist) * safe_div(sinphi, sinphi2) * cos2
+    valid = valid & (sinphi > EPSILON) & (sinphi2 > EPSILON)
+
+    # BSDF at the receiver, with shading-normal asymmetry correction
+    # (path.cpp:229-250)
+    d0 = -jax.lax.stop_gradient(camera_ray.d)
+    d0_local = _its1.sh_frame.to_local(d0)
+    bsdf_val = sd_det.eval_bsdf(_its1, d0_local, valid)
+    correction = jnp.abs(
+        safe_div(
+            _its1.wi[..., 2] * dot(d0, _its1.n),
+            d0_local[..., 2] * dot(_dir, _its1.n),
+        )
+    )
+    bsdf_val = bsdf_val * correction[..., None]
+
+    le = sd_det.Le(_its2, valid)
+    value0 = bsdf_val * le * (
+        base_v * sds.sensor_val * safe_div(1.0, bss.pdf)
+    )[..., None]
+    value0 = jnp.where(valid[..., None], value0, 0.0)
+
+    if not diff:
+        return jnp.full(valid.shape, -1, jnp.int32), value0
+
+    # orientation sign + differentiable normal velocity (path.cpp:253-265)
+    n = normalize(cross(bss.n, proj))
+    sgn = jnp.sign(dot(e, bss.edge2)) * jnp.sign(dot(e, n))
+    value0 = value0 * sgn[..., None]
+
+    tri_idx = jnp.maximum(_its2.tri_id, 0)
+    v0 = sd.tri.p0[tri_idx]      # differentiable emitter-triangle data
+    e1 = sd.tri.e1[tri_idx]
+    e2 = sd.tri.e2[tri_idx]
+    shadow_ray = Ray(its1.p, normalize(bss.p0 - its1.p))
+    uv, _ = ray_intersect_triangle(v0, e1, e2, shadow_ray)
+    u2 = bilinear(
+        jax.lax.stop_gradient(v0),
+        jax.lax.stop_gradient(e1),
+        jax.lax.stop_gradient(e2),
+        uv,
+    )
+    result = jax.lax.stop_gradient(value0) * dot(n, u2)[..., None]
+    result = jnp.where(valid[..., None], result, 0.0)
+    result = result - jax.lax.stop_gradient(result)  # derivative-only
+    idx = jnp.where(valid, sds.pixel_idx, -1)
+    return idx, result
+
+
+class SecondaryEdgeMixin:
+    """Adds guided secondary-edge rendering to an integrator."""
+
+    def __init__(self):
+        self.warpper = {}  # sensor_id -> HyperCubeDistribution (3D guiding)
+
+    def preprocess_secondary_edges(self, scene, sensor_id: int, reso,
+                                   nrounds: int = 1, seed: int = 0):
+        """Build the 3D guiding table by evaluating the detached boundary
+        integrand on a regular grid (path.cpp:130-168)."""
+        assert nrounds > 0
+        sd = jax.lax.stop_gradient(scene.data)
+        reso = tuple(int(r) for r in reso)
+        grid = reso[:3]
+        spp_cell = reso[3]
+        num_cells = grid[0] * grid[1] * grid[2]
+        num_samples = num_cells * spp_cell
+
+        warp = HyperCubeDistribution.init(
+            grid, jnp.ones(num_cells, jnp.float32)
+        )
+        cell_idx = jnp.arange(num_samples, dtype=jnp.int32) // spp_cell
+        base = warp.cell_coords(cell_idx).astype(jnp.float32)
+        unit = 1.0 / jnp.asarray(grid, jnp.float32)
+
+        @jax.jit
+        def one_round(seed_val):
+            sampler = Sampler(seed_val, jnp.arange(num_samples, dtype=jnp.uint32))
+            sample3 = (base + sampler.next_nd(3)) * unit
+            _, value0 = eval_secondary_edge(
+                sd, sd.sensors[sensor_id], sample3, diff=False
+            )
+            value0 = scrub_nonfinite(value0)
+            if spp_cell > 1:
+                value0 = value0 / float(spp_cell)
+            mass = jnp.max(value0, axis=-1)
+            return jnp.zeros(num_cells, jnp.float32).at[cell_idx].add(mass)
+
+        result = jnp.zeros(num_cells, jnp.float32)
+        for j in range(nrounds):
+            result = result + one_round(jnp.uint32(seed + j * 7919))
+        if nrounds > 1:
+            result = result / float(nrounds)
+        self.warpper[sensor_id] = HyperCubeDistribution.init(grid, result)
+
+    def render_secondary_edges(self, sd: SceneData, opts, sensor_id, seed):
+        """path.cpp:274-294; returns (derivative-only values, pixel ids)."""
+        from .base import STREAM_SECONDARY
+
+        n_samples = opts.num_pixels * opts.sppse
+        sampler = Sampler(
+            seed + jnp.uint32(STREAM_SECONDARY),
+            jnp.arange(n_samples, dtype=jnp.uint32),
+        )
+        sample3 = sampler.next_nd(3)
+        warp = self.warpper.get(sensor_id)
+        if warp is not None:
+            sample3, pdf0 = warp.sample_reuse(sample3)
+        else:
+            pdf0 = jnp.ones(n_samples, jnp.float32)
+
+        idx, value = eval_secondary_edge(
+            sd, sd.sensors[sensor_id], sample3, diff=True
+        )
+        value = jnp.where(
+            (pdf0 > EPSILON)[..., None], safe_div(value, pdf0[..., None]), value
+        )
+        if opts.sppse > 1:
+            value = value / float(opts.sppse)
+        return value, idx

@@ -1,0 +1,3 @@
+from .mesh import make_device_mesh, render_sharded
+
+__all__ = ["make_device_mesh", "render_sharded"]

@@ -1,0 +1,560 @@
+"""Scene container and traced scene compile.
+
+TPU-native counterpart of the reference ``Scene`` (``src/scene/scene.cpp``):
+
+* :class:`Scene` is the mutable user-facing container (``add_Mesh`` /
+  ``add_BSDF`` / ``add_Sensor`` / ``param_map``, matching ``psdr.cpp``),
+* :meth:`Scene.configure_data` is the traced, differentiable scene compile
+  (``Scene::configure``, scene.cpp:311-600): world-space triangle SoA packing,
+  emitter weights, secondary-edge tables, sensor matrices + primary edges —
+  all as one pure function so ``jax.grad``/``jvp`` flow from rendered pixels
+  back to vertices, transforms, reflectances, radiances and camera pose,
+* intersection = detached payload (Pallas kernel) + differentiable
+  reconstruction in the dual solid-angle / path-space formulations
+  (``Scene::ray_intersect``, scene.cpp:612-806).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.types import (
+    pytree, static_field, RenderOption, Ray, Frame, Intersection,
+    EPSILON, EDGE_EPSILON,
+)
+from ..core.math import (
+    normalize, norm, squared_norm, cross, dot, bilinear, bilinear2,
+    safe_div, safe_sqrt, sign_eps, ray_intersect_triangle, rgb2luminance,
+)
+from ..core.distribution import DiscreteDistribution
+from ..core.records import PositionSample, BoundarySegSample
+from ..shape.mesh import Mesh, TriangleInfo, SecondaryEdgeInfo, MeshData
+from ..emitter.area import AreaLight, AreaLightData, area_light_weight
+from ..emitter.envmap import (
+    EnvironmentMap, EnvironmentMapData, build_envmap_distribution,
+)
+from ..bsdf.bsdf import eval_dispatch, sample_dispatch, pdf_dispatch
+from ..ops.intersect import ray_intersect_detached
+
+
+@pytree
+class SceneData:
+    """Everything a render needs, as one pytree of traced arrays."""
+
+    # global triangle SoA (scene.cpp:528-542)
+    tri: TriangleInfo
+    tri_uv: Any              # (F, 3, 2)
+    face_normal_mask: Any    # (F,) bool — per-face use_face_normals
+    face_mesh_id: Any        # (F,) int32
+    # per-mesh dispatch tables
+    mesh_bsdf_slot: Any      # (M,) int32 (-1 none)
+    mesh_emitter_slot: Any   # (M,) int32 (-1 none)
+    # materials / lights / cameras
+    bsdfs: Any               # tuple of BSDF pytrees (static length/types)
+    emitters: Any            # tuple of emitter data pytrees
+    emitters_distrb: Any     # DiscreteDistribution | None
+    sensors: Any             # tuple of SensorData
+    # secondary edges (scene.cpp:546-571)
+    sec_edge: Any            # SecondaryEdgeInfo | None (global)
+    sec_edge_distrb: Any     # DiscreteDistribution | None
+    # scene AABB
+    lower: Any               # (3,)
+    upper: Any               # (3,)
+
+    @property
+    def num_meshes(self) -> int:
+        return self.mesh_bsdf_slot.shape[0]
+
+    # ------------------------------------------------------------------
+    # Intersection (scene.cpp:612-806)
+    # ------------------------------------------------------------------
+    def ray_intersect(self, ray: Ray, active=None, mode: str = "path",
+                      backend: str = "auto"):
+        """Closest hit + differentiable reconstruction.
+
+        ``mode``:
+        * ``"solid"`` — solid-angle formulation: differentiable
+          Möller-Trumbore re-intersection (camera rays of the interior term),
+        * ``"path"`` — path-space formulation: hit point from *detached*
+          barycentrics, differentiable through vertices, with material-form
+          Jacobian ``J`` (all secondary rays).
+
+        The primal values agree; only derivatives differ (scene.cpp:736-806).
+        """
+        tri = self.tri
+        tri_id, valid, uv_payload, _t = ray_intersect_detached(
+            tri.p0, tri.e1, tri.e2, ray, active, backend=backend
+        )
+        idx = jnp.maximum(tri_id, 0)
+
+        p0 = tri.p0[idx]
+        e1 = tri.e1[idx]
+        e2 = tri.e2[idx]
+        n0 = tri.n0[idx]
+        n1 = tri.n1[idx]
+        n2 = tri.n2[idx]
+        face_normal = tri.face_normal[idx]
+        face_area = tri.face_area[idx]
+        face_indices = tri.face_indices[idx]
+        uv_info = self.tri_uv[idx]           # (..., 3, 2)
+        fn_mask = self.face_normal_mask[idx]
+        mesh_id = self.face_mesh_id[idx]
+
+        if mode == "path":
+            uv = uv_payload  # detached barycentrics from the kernel
+            p = bilinear(p0, e1, e2, uv)
+            dirv = p - ray.o
+            t = norm(dirv)
+            dirv = dirv * safe_div(1.0, t)[..., None]
+            J = safe_div(face_area, jax.lax.stop_gradient(face_area))
+            wi_dir = -dirv
+        elif mode == "solid":
+            uv, t = ray_intersect_triangle(p0, e1, e2, ray)
+            p = ray(t)
+            J = jnp.ones_like(t)
+            wi_dir = -ray.d
+        else:
+            raise ValueError(mode)
+
+        sh_n = normalize(bilinear(n0, n1 - n0, n2 - n0, uv))
+        sh_n = jnp.where(fn_mask[..., None], face_normal, sh_n)
+
+        # uv interpolation + dp_du/dp_dv (scene.cpp:727-733, 752-759)
+        uv0, uv1, uv2 = uv_info[..., 0, :], uv_info[..., 1, :], uv_info[..., 2, :]
+        its_uv = bilinear2(uv0, uv1 - uv0, uv2 - uv0, uv)
+        duv0 = uv1 - uv0
+        duv1 = uv2 - uv0
+        det = duv0[..., 0] * duv1[..., 1] - duv0[..., 1] * duv1[..., 0]
+        inv_det = safe_div(1.0, det)
+        valid_dp = det != 0.0
+        dp_du = jnp.where(
+            valid_dp[..., None],
+            (duv1[..., 1:2] * e1 - duv0[..., 1:2] * e2) * inv_det[..., None],
+            0.0,
+        )
+        dp_dv = jnp.where(
+            valid_dp[..., None],
+            (-duv1[..., 0:1] * e1 + duv0[..., 0:1] * e2) * inv_det[..., None],
+            0.0,
+        )
+        sh_frame = Frame.from_normal(sh_n)
+        s_uv = normalize(dp_du - sh_n * dot(sh_n, dp_du)[..., None])
+        s = jnp.where(valid_dp[..., None], s_uv, sh_frame.s)
+        t_frame = jnp.where(
+            valid_dp[..., None], cross(sh_n, s), sh_frame.t
+        )
+        sh_frame = Frame(s=s, t=t_frame, n=sh_n)
+        wi = sh_frame.to_local(wi_dir)
+
+        return Intersection(
+            valid=valid,
+            t=t,
+            p=p,
+            n=face_normal,
+            sh_frame=sh_frame,
+            wi=wi,
+            uv=its_uv,
+            J=J,
+            dp_du=dp_du,
+            dp_dv=dp_dv,
+            bc=uv,
+            tri_id=tri_id,
+            mesh_id=mesh_id,
+            face_indices=face_indices,
+        )
+
+    # ------------------------------------------------------------------
+    # Per-lane emitter dispatch
+    # ------------------------------------------------------------------
+    def emitter_slot(self, its: Intersection):
+        return jnp.where(
+            its.valid, self.mesh_emitter_slot[jnp.maximum(its.mesh_id, 0)], -1
+        )
+
+    def is_emitter(self, its: Intersection, active):
+        return active & its.valid & (self.emitter_slot(its) >= 0)
+
+    def Le(self, its: Intersection, active):
+        """Emitted radiance at a hit (intersection.h:31-42 vcall chain)."""
+        slot = self.emitter_slot(its)
+        result = jnp.zeros(its.t.shape + (3,), jnp.float32)
+        for i, em in enumerate(self.emitters):
+            m = active & (slot == i)
+            result = jnp.where(m[..., None], em.eval(its, m), result)
+        return result
+
+    def bsdf_slot(self, its: Intersection):
+        return jnp.where(
+            its.valid, self.mesh_bsdf_slot[jnp.maximum(its.mesh_id, 0)], -1
+        )
+
+    def eval_bsdf(self, its, wo, active):
+        return eval_dispatch(self.bsdfs, self.bsdf_slot(its), its, wo, active)
+
+    def sample_bsdf(self, its, rnd3, active):
+        return sample_dispatch(self.bsdfs, self.bsdf_slot(its), its, rnd3, active)
+
+    def pdf_bsdf(self, its, wo, active):
+        return pdf_dispatch(self.bsdfs, self.bsdf_slot(its), its, wo, active)
+
+    # ------------------------------------------------------------------
+    # Emitter sampling (scene.cpp:987-1024)
+    # ------------------------------------------------------------------
+    def sample_emitter_position(self, ref_p, sample2, active) -> PositionSample:
+        assert len(self.emitters) > 0, "No emitter!"
+        if len(self.emitters) == 1:
+            return self.emitters[0].sample_position(ref_p, sample2, active)
+        u = sample2[..., 1]
+        e_idx, e_pdf, u = self.emitters_distrb.sample_reuse(u)
+        sample2 = jnp.stack([sample2[..., 0], u], axis=-1)
+        out = None
+        for i, em in enumerate(self.emitters):
+            m = active & (e_idx == i)
+            ps = em.sample_position(ref_p, sample2, m)
+            if out is None:
+                out = ps
+            else:
+                out = PositionSample(
+                    p=jnp.where(m[..., None], ps.p, out.p),
+                    n=jnp.where(m[..., None], ps.n, out.n),
+                    pdf=jnp.where(m, ps.pdf, out.pdf),
+                    J=jnp.where(m, ps.J, out.J),
+                    is_valid=jnp.where(m, ps.is_valid, out.is_valid),
+                )
+        return out.replace(pdf=out.pdf * e_pdf)
+
+    def emitter_position_pdf(self, ref_p, its: Intersection, active):
+        slot = self.emitter_slot(its)
+        result = jnp.zeros(its.t.shape, jnp.float32)
+        for i, em in enumerate(self.emitters):
+            m = active & (slot == i)
+            result = jnp.where(m, em.sample_position_pdf(ref_p, its, m), result)
+        return result
+
+    # ------------------------------------------------------------------
+    # Boundary segment sampling (scene.cpp:1027-1068)
+    # ------------------------------------------------------------------
+    def sample_boundary_segment_direct(self, sample3, active=None) -> BoundarySegSample:
+        se = self.sec_edge
+        assert se is not None, "no secondary edges configured"
+        if active is None:
+            active = jnp.ones(sample3.shape[:-1], bool)
+
+        u0 = sample3[..., 0]
+        edge_idx, pdf0, u0 = self.sec_edge_distrb.sample_reuse(u0)
+        e1 = se.e1[edge_idx]            # differentiable
+        p0_edge = se.p0[edge_idx]
+        n0 = jax.lax.stop_gradient(se.n0[edge_idx])
+        n1 = jax.lax.stop_gradient(se.n1[edge_idx])
+        p2_third = jax.lax.stop_gradient(se.p2[edge_idx])
+        is_boundary = se.is_boundary[edge_idx]
+
+        p0 = p0_edge + e1 * u0[..., None]    # AD through vertices
+        edge_dir = normalize(jax.lax.stop_gradient(e1))
+        edge2 = p2_third - jax.lax.stop_gradient(p0_edge)
+        p0_det = jax.lax.stop_gradient(p0)
+        pdf0 = safe_div(pdf0, norm(jax.lax.stop_gradient(e1)))
+
+        # light point
+        ps2 = self.sample_emitter_position(
+            p0_det, jax.lax.stop_gradient(sample3[..., 1:3]), active
+        )
+        ps2 = jax.lax.stop_gradient(ps2)
+
+        e = ps2.p - p0_det
+        dist_sqr = squared_norm(e)
+        e = e * safe_div(1.0, safe_sqrt(dist_sqr))[..., None]
+        cos_theta = dot(ps2.n, -e)
+
+        sgn0 = sign_eps(dot(n0, e), EDGE_EPSILON)
+        sgn1 = sign_eps(dot(n1, e), EDGE_EPSILON)
+        is_valid = active & ps2.is_valid & (cos_theta > EPSILON) & (
+            (is_boundary & (sgn0 != 0)) | ((~is_boundary) & (sgn0 * sgn1 < 0))
+        )
+        pdf = jnp.where(
+            is_valid,
+            pdf0 * ps2.pdf * safe_div(dist_sqr, cos_theta),
+            0.0,
+        )
+        return BoundarySegSample(
+            p0=p0,
+            edge=edge_dir,
+            edge2=edge2,
+            p2=ps2.p,
+            n=ps2.n,
+            pdf=pdf,
+            is_valid=is_valid,
+        )
+
+
+class Scene:
+    """Mutable scene container mirroring the reference Python API."""
+
+    def __init__(self):
+        self.opts = RenderOption()
+        self.meshes: list = []
+        self.bsdfs: list = []
+        self.bsdf_ids: list = []
+        self.emitters: list = []
+        self.sensors: list = []
+        self.emitter_env: Optional[EnvironmentMap] = None
+        self.param_map: dict = {}
+        self.seed = 0
+        self._data: Optional[SceneData] = None
+        self._active_sensors = None
+
+    # -- builders (psdr.cpp:406-418; scene.cpp add_* ~100-310) -------------
+    @property
+    def num_sensors(self) -> int:
+        return len(self.sensors)
+
+    @property
+    def num_meshes(self) -> int:
+        return len(self.meshes)
+
+    def add_Sensor(self, sensor):
+        self.sensors.append(sensor)
+        self._rebuild_param_map()
+        return len(self.sensors) - 1
+
+    def add_BSDF(self, bsdf, bsdf_id: str = "", twoSide: bool = False):
+        if twoSide:
+            bsdf.twoSide = True
+        bsdf.id = bsdf_id
+        self.bsdfs.append(bsdf)
+        self.bsdf_ids.append(bsdf_id)
+        self._rebuild_param_map()
+        return len(self.bsdfs) - 1
+
+    def add_EnvironmentMap(self, env: EnvironmentMap):
+        if not isinstance(env, EnvironmentMap):
+            env = EnvironmentMap(env)
+        self.emitter_env = env
+        self.emitters.append(env)
+        self._rebuild_param_map()
+
+    def add_Mesh(self, mesh_or_file, transform=None, bsdf_id: str = "",
+                 emitter: Optional[AreaLight] = None):
+        if isinstance(mesh_or_file, Mesh):
+            mesh = mesh_or_file
+        else:
+            mesh = Mesh().load(str(mesh_or_file))
+        if transform is not None:
+            mesh.to_world_raw = jnp.asarray(transform, jnp.float32)
+        if bsdf_id != "":
+            assert bsdf_id in self.bsdf_ids, f"Unknown BSDF id {bsdf_id!r}"
+            mesh.bsdf_id = self.bsdf_ids.index(bsdf_id)
+        if emitter is not None:
+            emitter.mesh_index = len(self.meshes)
+            mesh.emitter_id = len(self.emitters)
+            self.emitters.append(emitter)
+        self.meshes.append(mesh)
+        self._rebuild_param_map()
+        return mesh
+
+    def _rebuild_param_map(self):
+        pm = {}
+        for i, m in enumerate(self.meshes):
+            pm[f"Mesh[{i}]"] = m
+            if getattr(m, "id", ""):
+                pm[f"Mesh[id={m.id}]"] = m
+        for i, b in enumerate(self.bsdfs):
+            pm[f"BSDF[{i}]"] = b
+            if getattr(b, "id", ""):
+                pm[f"BSDF[id={b.id}]"] = b
+        for i, e in enumerate(self.emitters):
+            pm[f"Emitter[{i}]"] = e
+        for i, s in enumerate(self.sensors):
+            pm[f"Sensor[{i}]"] = s
+        self.param_map = pm
+
+    # -- traced scene compile ------------------------------------------------
+    def configure_data(self, active_sensors=None) -> SceneData:
+        """Pure-by-convention scene compile (scene.cpp:311-600).
+
+        Reads current (possibly traced) leaves off the python objects and
+        returns a SceneData pytree.  Differentiable end to end.
+        """
+        assert self.meshes, "Missing meshes!"
+        assert self.sensors, "Missing sensor!"
+        opts = self.opts
+        with_sec_edges = opts.sppse > 0
+        with_prim_edges = opts.sppe > 0
+
+        mesh_list = list(self.meshes)
+        emitters = list(self.emitters)
+
+        mesh_datas = [
+            m.configure_data(with_edges=with_sec_edges and m.enable_edges)
+            for m in mesh_list
+        ]
+
+        # scene AABB (scene.cpp:356-370 + camera positions)
+        all_lo = [jnp.min(jax.lax.stop_gradient(md.vertex_positions), axis=0)
+                  for md in mesh_datas]
+        all_hi = [jnp.max(jax.lax.stop_gradient(md.vertex_positions), axis=0)
+                  for md in mesh_datas]
+        lower = jnp.min(jnp.stack(all_lo), axis=0)
+        upper = jnp.max(jnp.stack(all_hi), axis=0)
+
+        # envmap bounding mesh (scene.cpp:435-485)
+        if self.emitter_env is not None:
+            margin = jnp.min((upper - lower) * 0.05)
+            lower = lower - margin
+            upper = upper + margin
+            bound_mesh, bound_data = _make_bound_mesh(lower, upper)
+            bound_mesh.emitter_id = emitters.index(self.emitter_env)
+            self.emitter_env.mesh_index = len(mesh_list)
+            mesh_list = mesh_list + [bound_mesh]
+            mesh_datas = mesh_datas + [bound_data]
+
+        # global triangle SoA packing (scene.cpp:528-542)
+        tri = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0),
+            *[md.tri for md in mesh_datas],
+        )
+        tri_uv = jnp.concatenate([md.tri_uv for md in mesh_datas], axis=0)
+        face_normal_mask = jnp.concatenate([
+            jnp.full((md.tri.face_area.shape[0],), m.use_face_normals)
+            for m, md in zip(mesh_list, mesh_datas)
+        ])
+        face_mesh_id = jnp.concatenate([
+            jnp.full((md.tri.face_area.shape[0],), i, jnp.int32)
+            for i, md in enumerate(mesh_datas)
+        ])
+
+        mesh_bsdf_slot = jnp.asarray(
+            [m.bsdf_id for m in mesh_list], jnp.int32
+        )
+        mesh_emitter_slot = jnp.asarray(
+            [m.emitter_id for m in mesh_list], jnp.int32
+        )
+
+        # emitters (scene.cpp:489-515)
+        emitter_datas = []
+        weights = []
+        for em in emitters:
+            if isinstance(em, AreaLight):
+                md = mesh_datas[em.mesh_index]
+                weights.append(area_light_weight(em.radiance, md))
+            else:
+                weights.append(jnp.float32(0.0))
+        if emitters:
+            total = sum(weights)
+            weights = [
+                total if isinstance(em, EnvironmentMap) else w
+                for em, w in zip(emitters, weights)
+            ]
+            wsum = sum(weights)
+            emitters_distrb = DiscreteDistribution.init(jnp.stack(weights))
+            for em, w in zip(emitters, weights):
+                norm_w = jax.lax.stop_gradient(safe_div(w, wsum))
+                if isinstance(em, AreaLight):
+                    emitter_datas.append(AreaLightData(
+                        radiance=em.radiance,
+                        sampling_weight=norm_w,
+                        mesh_data=mesh_datas[em.mesh_index],
+                        mesh_index=em.mesh_index,
+                    ))
+                else:
+                    emitter_datas.append(EnvironmentMapData(
+                        radiance=em.radiance,
+                        scale=em.scale,
+                        to_world=em.to_world_left @ em.to_world_raw,
+                        from_world=jnp.linalg.inv(
+                            em.to_world_left @ em.to_world_raw
+                        ),
+                        cell_distrb=build_envmap_distribution(em.radiance),
+                        lower=lower,
+                        upper=upper,
+                        sampling_weight=norm_w,
+                        mesh_index=em.mesh_index,
+                    ))
+        else:
+            emitters_distrb = None
+
+        # secondary edges: global packing + length pmf (scene.cpp:546-571)
+        sec_edge = None
+        sec_edge_distrb = None
+        if with_sec_edges:
+            parts = [md.sec_edge for md in mesh_datas if md.sec_edge is not None]
+            if parts:
+                sec_edge = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *parts
+                )
+                sec_edge_distrb = DiscreteDistribution.init(
+                    norm(jax.lax.stop_gradient(sec_edge.e1))
+                )
+
+        # sensors
+        if active_sensors is None:
+            active_sensors = list(range(len(self.sensors)))
+        sensor_datas = tuple(
+            s.configure_data(
+                opts.width, opts.height, mesh_list, mesh_datas,
+                with_edges=with_prim_edges and (i in active_sensors),
+            )
+            for i, s in enumerate(self.sensors)
+        )
+
+        return SceneData(
+            tri=tri,
+            tri_uv=tri_uv,
+            face_normal_mask=face_normal_mask,
+            face_mesh_id=face_mesh_id,
+            mesh_bsdf_slot=mesh_bsdf_slot,
+            mesh_emitter_slot=mesh_emitter_slot,
+            bsdfs=tuple(self.bsdfs),
+            emitters=tuple(emitter_datas),
+            emitters_distrb=emitters_distrb,
+            sensors=sensor_datas,
+            sec_edge=sec_edge,
+            sec_edge_distrb=sec_edge_distrb,
+            lower=lower,
+            upper=upper,
+        )
+
+    def configure(self, active_sensors=None):
+        """Eagerly (re)build and cache scene data (reference sc.configure())."""
+        self._active_sensors = active_sensors
+        self._data = self.configure_data(active_sensors)
+        return self._data
+
+    @property
+    def data(self) -> SceneData:
+        if self._data is None:
+            self.configure()
+        return self._data
+
+    def is_ready(self) -> bool:
+        return self._data is not None
+
+
+def _make_bound_mesh(lower, upper):
+    """Inward-facing AABB box mesh for envmap lighting (scene.cpp:447-470)."""
+    # vertex i has coordinate upper[j] if bit j of i is set
+    corners = np.arange(8)
+    sel = np.stack(
+        [(corners >> j) & 1 for j in range(3)], axis=-1
+    ).astype(np.float32)  # (8, 3) in {0,1}
+    verts = lower * (1.0 - sel) + upper * sel
+    faces = np.array(
+        [
+            [0, 1, 3], [0, 3, 2], [1, 5, 7], [1, 7, 3],
+            [2, 3, 7], [2, 7, 6], [0, 5, 1], [0, 4, 5],
+            [0, 2, 6], [0, 6, 4], [4, 7, 5], [4, 6, 7],
+        ],
+        np.int32,
+    )
+    mesh = Mesh()
+    mesh.use_face_normals = True
+    mesh.enable_edges = False
+    mesh.bsdf_id = -1
+    mesh.vertex_positions_raw = verts
+    mesh.face_indices = faces
+    data = mesh.configure_data(with_edges=False)
+    return mesh, data

@@ -1,0 +1,6 @@
+from .sensor import SensorData, sample_primary_edge
+from .perspective import PerspectiveCamera
+from .orthographic import OrthographicCamera
+
+__all__ = ["SensorData", "PerspectiveCamera", "OrthographicCamera",
+           "sample_primary_edge"]
