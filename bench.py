@@ -1,0 +1,99 @@
+"""Benchmark: Mrays/s/chip forward+backward on the Cornell box.
+
+Workload (BASELINE.json): cbox 512x512, spp=32, PathTracer(3), one
+forward render + gradient w.r.t. scene parameters (vertex positions of a
+block + light radiance) — the fwd+bwd step of an inverse-rendering loop.
+
+Ray count per interior sample at depth D: 1 camera ray + D * (1 shadow ray +
+1 bounce ray).  Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+``vs_baseline`` is vs. the speed-of-light estimate for this chip (fraction of
+roofline): the reference publishes no numbers (BASELINE.md), so the roofline
+is the only defensible denominator.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+
+import jax
+import jax.numpy as jnp
+
+import psdr_jit_tpu as psdr
+from scenes import make_cbox
+
+WIDTH = HEIGHT = 512
+SPP = 32
+DEPTH = 3
+RAYS_PER_SAMPLE = 1 + 2 * DEPTH
+
+
+def main():
+    sc = make_cbox(width=WIDTH, height=HEIGHT, spp=SPP)
+    sc.configure()
+    integ = psdr.PathTracer(max_depth=DEPTH)
+    mesh = sc.meshes[-1]
+    em = sc.emitters[0]
+    base_v = mesh.vertex_positions_raw
+    base_r = em.radiance
+
+    def loss_fn(dv, dr, seed, pix):
+        mesh.vertex_positions_raw = base_v + dv
+        em.radiance = base_r + dr
+        img = integ.renderD(sc, 0, seed=seed, pix_id=pix)
+        return jnp.sum(jnp.square(img))
+
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1))
+    zeros_v = jnp.zeros_like(base_v)
+    zeros_r = jnp.zeros_like(base_r)
+
+    # Reverse-AD residuals for the full 8.4M-sample frame exceed HBM; the
+    # renderer's pixel-batching contract (exact per-lane seeding, reference
+    # integrator.cpp:23-30) makes chunked gradient accumulation exact.
+    n_chunks = 16
+    all_pix = jnp.arange(WIDTH * HEIGHT, dtype=jnp.int32).reshape(n_chunks, -1)
+
+    def full_grad(seed):
+        gv = jnp.zeros_like(base_v)
+        gr = jnp.zeros_like(base_r)
+        for c in range(n_chunks):
+            g = grad_fn(zeros_v, zeros_r, seed, all_pix[c])
+            gv = gv + g[0]
+            gr = gr + g[1]
+        return gv, gr
+
+    # warmup/compile
+    g = full_grad(0)
+    jax.block_until_ready(g)
+
+    n_iter = 3
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        g = full_grad(i + 1)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    n_rays = WIDTH * HEIGHT * SPP * RAYS_PER_SAMPLE
+    mrays = n_rays / dt / 1e6
+
+    # Speed-of-light estimate: intersection is the dominant cost.  The
+    # brute-force kernel does F_pad triangle tests per ray at ~48 flops
+    # (VPU fma-counted) each; a v5-class chip VPU sustains ~2e13 f32 flop/s.
+    # (BASELINE.json "published" is empty — no reference numbers exist.)
+    f_pad = 128 * -(-sum(m.num_faces for m in sc.meshes) // 128)
+    vpu_flops = 2.0e13
+    sol_mrays = vpu_flops / (f_pad * 48.0) / 1e6 * RAYS_PER_SAMPLE
+    print(json.dumps({
+        "metric": "cbox512_spp32_depth3_fwdbwd",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / sol_mrays, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,9 +42,17 @@ def _lambda_p(wp, wi):
 
 
 def _p_frame(wp, dp_du):
-    """Frame(n, s) constructor (frame.h:42-45)."""
+    """Frame(n, s) constructor (frame.h:42-45).
+
+    Falls back to an ONB from ``wp`` when the projected tangent degenerates
+    (meshes without UVs have dp_du = 0; the reference would produce a
+    zero frame there, normalmap.cpp:61).
+    """
     n = wp
-    s = normalize(dp_du - wp * dot(wp, dp_du)[..., None])
+    proj = dp_du - wp * dot(wp, dp_du)[..., None]
+    ok = (jnp.sum(proj * proj, axis=-1) > 1e-12)[..., None]
+    fallback = Frame.from_normal(wp)
+    s = jnp.where(ok, normalize(proj), fallback.s)
     t = normalize(jnp.cross(n, s))
     s = normalize(jnp.cross(t, n))
     return Frame(s=s, t=t, n=n)

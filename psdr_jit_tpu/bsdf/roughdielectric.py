@@ -105,7 +105,12 @@ class RoughDielectricBSDF(BSDF):
                 jnp.square(wi_dot_m + bs_eta * wo_dot_m),
             ),
         )
-        pdf = pdf * jnp.abs(dwh_dwo) * distr.smith_g1(wo, m)
+        # pdf(wo) = D_vis(m) * lobe_prob * |dm/dwo|.  NOTE: the reference
+        # (roughdielectric.cpp:~240) multiplies an extra smith_g1(wo, m) here
+        # while its __pdf omits the |wi.m| of the visible-NDF density — the
+        # two disagree and neither is the true sample density, which biases
+        # the estimator.  We use the exact density on both paths instead.
+        pdf = pdf * jnp.abs(dwh_dwo)
         bs = BSDFSample(
             wo=wo, pdf=pdf, eta=bs_eta, is_valid=active
         )
@@ -130,7 +135,11 @@ class RoughDielectricBSDF(BSDF):
         )
         distr = self._distr(its.uv)
         pwi = mulsign(wi, cos_i[..., None])
-        prob = safe_div(distr.eval(m) * distr.smith_g1(pwi, m), pwi[..., 2])
+        # visible-NDF density of m (includes |wi.m|; see note in sample()):
+        prob = safe_div(
+            distr.eval(m) * distr.smith_g1(pwi, m) * jnp.abs(wi_dot_m),
+            pwi[..., 2],
+        )
         f = fresnel_dielectric(m_eta, wi_dot_m)[0]
         prob = prob * jnp.where(reflect, f, 1.0 - f)
         return jax.lax.stop_gradient(

@@ -70,8 +70,10 @@ class OrthographicCamera:
         v00 = xf.transform_pos(sample_to_camera, jnp.asarray([0.0, 0.0, 0.0]))
         v10 = xf.transform_pos(sample_to_camera, jnp.asarray([1.0, 0.0, 0.0]))
         v11 = xf.transform_pos(sample_to_camera, jnp.asarray([1.0, 1.0, 0.0]))
-        vc = xf.transform_pos(sample_to_camera, jnp.asarray([0.5, 0.5, 0.0]))
-        inv_area = squared_norm(vc) / (norm(v00 - v10) * norm(v11 - v10))
+        # importance normalisation = 1 / (world area of the view plane);
+        # the reference scales by |vc|^2 (orthographic.cpp copy of
+        # perspective.cpp:44), which wrongly couples W_e to the near clip.
+        inv_area = 1.0 / (norm(v00 - v10) * norm(v11 - v10))
 
         edge_info = None
         if with_edges:

@@ -92,14 +92,24 @@ class SensorData:
         pixel_idx = jnp.where(
             is_valid, iq[..., 1] * self.width + iq[..., 0], -1
         )
-        cam_pos = jax.lax.stop_gradient(self.camera_pos)
-        cam_dir = jax.lax.stop_gradient(self.camera_dir)
-        dir_ = p - cam_pos
-        dist2 = squared_norm(dir_)
-        dir_ = dir_ * safe_div(1.0, safe_sqrt(dist2))[..., None]
-        cos_theta = dot(cam_dir, dir_)
-        sensor_val = safe_div(1.0, dist2) * safe_div(1.0, cos_theta) ** 3 * \
-            jax.lax.stop_gradient(self.inv_area)
+        if self.ortho:
+            # Parallel projection: |d^2 s / dA| is the constant 1/A_plane —
+            # no 1/dist^2 falloff, no ray obliquity (rays are the axis).
+            # NOTE the reference reuses the perspective formula here
+            # (orthographic.cpp:185-190), which is wrong for ortho; its own
+            # tutorials never exercise ortho boundary terms.
+            sensor_val = jnp.broadcast_to(
+                jax.lax.stop_gradient(self.inv_area), pixel_idx.shape
+            )
+        else:
+            cam_pos = jax.lax.stop_gradient(self.camera_pos)
+            cam_dir = jax.lax.stop_gradient(self.camera_dir)
+            dir_ = p - cam_pos
+            dist2 = squared_norm(dir_)
+            dir_ = dir_ * safe_div(1.0, safe_sqrt(dist2))[..., None]
+            cos_theta = dot(cam_dir, dir_)
+            sensor_val = safe_div(1.0, dist2) * safe_div(1.0, cos_theta) ** 3 * \
+                jax.lax.stop_gradient(self.inv_area)
         return SensorDirectSample(
             q=q, pixel_idx=pixel_idx, sensor_val=sensor_val, is_valid=is_valid
         )
