@@ -24,6 +24,7 @@ from ..core.math import (
 )
 from ..core.sampler import Sampler
 from ..core.distribution import HyperCubeDistribution
+from ..ops.gather import gather_rows
 from ..scene.scene import SceneData
 
 
@@ -115,9 +116,11 @@ def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
     value0 = value0 * sgn[..., None]
 
     tri_idx = jnp.maximum(_its2.tri_id, 0)
-    v0 = sd.tri.p0[tri_idx]      # differentiable emitter-triangle data
-    e1 = sd.tri.e1[tri_idx]
-    e2 = sd.tri.e2[tri_idx]
+    # differentiable emitter-triangle data, one packed matmul-gather
+    rows = gather_rows(
+        jnp.concatenate([sd.tri.p0, sd.tri.e1, sd.tri.e2], axis=1), tri_idx
+    )
+    v0, e1, e2 = rows[..., 0:3], rows[..., 3:6], rows[..., 6:9]
     shadow_ray = Ray(its1.p, normalize(bss.p0 - its1.p))
     uv, _ = ray_intersect_triangle(v0, e1, e2, shadow_ray)
     u2 = bilinear(

@@ -1,18 +1,26 @@
-"""Pallas TPU kernel for brute-force closest-hit intersection.
+"""Pallas TPU kernel for closest-hit ray/triangle intersection.
 
 Replaces the reference's OptiX GAS + ``jit_optix_ray_trace`` launch
-(``scene_optix.cpp:265-333, 344-410``) with a VPU-friendly wavefront kernel:
+(``scene_optix.cpp:265-333, 344-410``) with a VPU wavefront kernel.
 
-* the grid iterates over **ray tiles** of ``R_TILE`` rays (sublane axis),
-* the triangle SoA lives in VMEM as ``(F_pad // 128, 128)`` lanes and the
-  kernel unrolls over triangle blocks, keeping a running closest-hit
-  ``(t, id, u, v)`` per ray,
-* all math is f32 (ray-triangle tests need the precision; this workload is
-  VPU/HBM-bound, not MXU-bound).
+Layout design (the part that matters on TPU):
 
-Scenes here are small (cbox ~10^2 tris) so a resident-triangle brute-force
-sweep at full lane occupancy beats divergent BVH traversal; a Pallas LBVH can
-slot in behind the same interface for large scenes.
+* Rays are stored **dense on both VPU axes**: each component is an
+  ``(n_rows, 128)`` array so every f32 tile is fully packed.  (A previous
+  ``(N, 1)`` interface forced XLA to materialise 128x-padded HBM temps —
+  4 GB for an 8M-ray frame.)
+* Triangle SoA rides in **SMEM via scalar prefetch**: the kernel runs a
+  ``fori_loop`` over triangles, broadcasting 9 scalars per step against the
+  whole (R_ROWS, 128) ray tile — dense VPU math, no lane waste, no layout
+  constraint on the big arrays.
+* Triangles are pre-grouped into 64-triangle clusters (Morton-ordered by the
+  scene layer); each cluster carries an AABB tested against the ray tile
+  first, so coherent tiles skip entire clusters (poor-man's two-level BVH;
+  a full LBVH can slot in behind the same interface).
+
+All math is f32 (ray-triangle tests need the precision; this workload is
+VPU-bound, not MXU-bound: the Plucker/matmul formulation has contraction
+depth 6, which wastes 122/128 of the systolic array).
 """
 
 from __future__ import annotations
@@ -27,143 +35,189 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.types import RAY_EPSILON
 
 _INF = 1e30
-R_TILE = 512        # rays per grid step (sublane axis)
-TRI_LANES = 128     # triangles per block (lane axis)
-MAX_VMEM_TRIS = 8192  # above this, fall back to the blocked JAX path
+R_ROWS = 256          # sublane rows per ray tile -> 256*128 = 32768 rays/tile
+LANES = 128
+CLUSTER = 64          # triangles per AABB cluster
+MAX_SMEM_TRIS = 65536  # above this, fall back to the blocked JAX path
 
 
-def _kernel(n_tri_blocks: int):
-    def kernel(ox, oy, oz, dx, dy, dz, p0x, p0y, p0z, e1x, e1y, e1z,
-               e2x, e2y, e2z, out_t, out_id, out_u, out_v):
-        rox, roy, roz = ox[:], oy[:], oz[:]
-        rdx, rdy, rdz = dx[:], dy[:], dz[:]
+def _kernel(f_pad: int, n_clusters: int):
+    def kernel(tri_ref, box_ref, ox, oy, oz, dx, dy, dz,
+               out_t, out_id, out_u, out_v):
+        """tri_ref: (9, f_pad) SMEM; box_ref: (6, n_clusters) SMEM."""
+        rox, roy, roz = ox[...], oy[...], oz[...]
+        rdx, rdy, rdz = dx[...], dy[...], dz[...]
+        inv_dx = 1.0 / rdx
+        inv_dy = 1.0 / rdy
+        inv_dz = 1.0 / rdz
 
-        best_t = jnp.full(rox.shape, _INF, jnp.float32)
-        best_id = jnp.full(rox.shape, -1, jnp.int32)
-        best_u = jnp.zeros(rox.shape, jnp.float32)
-        best_v = jnp.zeros(rox.shape, jnp.float32)
+        shape = rox.shape
+        init = (
+            jnp.full(shape, _INF, jnp.float32),
+            jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+        )
 
-        for j in range(n_tri_blocks):
-            # triangle block: (1, TRI_LANES) broadcast against (R_TILE, 1) rays
-            tp0x = p0x[j : j + 1, :]
-            tp0y = p0y[j : j + 1, :]
-            tp0z = p0z[j : j + 1, :]
-            te1x = e1x[j : j + 1, :]
-            te1y = e1y[j : j + 1, :]
-            te1z = e1z[j : j + 1, :]
-            te2x = e2x[j : j + 1, :]
-            te2y = e2y[j : j + 1, :]
-            te2z = e2z[j : j + 1, :]
+        def tri_body(j, carry):
+            bt, bi, bu, bv = carry
+            p0x = tri_ref[0, j]
+            p0y = tri_ref[1, j]
+            p0z = tri_ref[2, j]
+            e1x = tri_ref[3, j]
+            e1y = tri_ref[4, j]
+            e1z = tri_ref[5, j]
+            e2x = tri_ref[6, j]
+            e2y = tri_ref[7, j]
+            e2z = tri_ref[8, j]
 
-            # h = d x e2
-            hx = rdy * te2z - rdz * te2y
-            hy = rdz * te2x - rdx * te2z
-            hz = rdx * te2y - rdy * te2x
-            a = te1x * hx + te1y * hy + te1z * hz
-            live = jnp.abs(a) > 1e-12
-            f = jnp.where(live, 1.0 / jnp.where(a == 0.0, 1.0, a), 0.0)
-            # s = o - p0
-            sx = rox - tp0x
-            sy = roy - tp0y
-            sz = roz - tp0z
+            # Moller-Trumbore, one triangle vs the whole tile
+            hx = rdy * e2z - rdz * e2y
+            hy = rdz * e2x - rdx * e2z
+            hz = rdx * e2y - rdy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a  # inf at a=0; masked by the hit test below
+            sx = rox - p0x
+            sy = roy - p0y
+            sz = roz - p0z
             u = f * (sx * hx + sy * hy + sz * hz)
-            # q = s x e1
-            qx = sy * te1z - sz * te1y
-            qy = sz * te1x - sx * te1z
-            qz = sx * te1y - sy * te1x
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
             v = f * (rdx * qx + rdy * qy + rdz * qz)
-            t = f * (te2x * qx + te2y * qy + te2z * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
             hit = (
-                live
+                (jnp.abs(a) > 1e-12)
                 & (u >= 0.0)
                 & (v >= 0.0)
                 & (u + v <= 1.0)
                 & (t > RAY_EPSILON)
+                & (t < bt)
             )
-            t = jnp.where(hit, t, _INF)
-            # closest within this block (lane reduction)
-            tmin = jnp.min(t, axis=1, keepdims=True)
-            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            is_min = (t <= tmin) & hit
-            # lowest-lane tie break
-            lane_sel = jnp.min(jnp.where(is_min, lane, TRI_LANES), axis=1,
-                               keepdims=True)
-            sel = lane == lane_sel
-            u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
-            v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
-            closer = tmin < best_t
-            best_id = jnp.where(
-                closer, j * TRI_LANES + lane_sel, best_id
-            )
-            best_u = jnp.where(closer, u_sel, best_u)
-            best_v = jnp.where(closer, v_sel, best_v)
-            best_t = jnp.where(closer, tmin, best_t)
+            bt = jnp.where(hit, t, bt)
+            bi = jnp.where(hit, j, bi)
+            bu = jnp.where(hit, u, bu)
+            bv = jnp.where(hit, v, bv)
+            return bt, bi, bu, bv
 
-        out_t[:] = best_t
-        out_id[:] = jnp.where(best_t < _INF, best_id, -1)
-        out_u[:] = best_u
-        out_v[:] = best_v
+        def cluster_body(c, carry):
+            # slab test of the cluster AABB against every ray in the tile;
+            # skip the 64-triangle loop when no ray can hit it
+            lox = box_ref[0, c]
+            loy = box_ref[1, c]
+            loz = box_ref[2, c]
+            hix = box_ref[3, c]
+            hiy = box_ref[4, c]
+            hiz = box_ref[5, c]
+            bt = carry[0]
+            tx0 = (lox - rox) * inv_dx
+            tx1 = (hix - rox) * inv_dx
+            ty0 = (loy - roy) * inv_dy
+            ty1 = (hiy - roy) * inv_dy
+            tz0 = (loz - roz) * inv_dz
+            tz1 = (hiz - roz) * inv_dz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            any_hit = jnp.any((tnear <= tfar) & (tfar > 0.0) & (tnear < bt))
+
+            def run(carry):
+                lo = c * CLUSTER
+                return jax.lax.fori_loop(
+                    lo, lo + CLUSTER, tri_body, carry
+                )
+
+            return jax.lax.cond(any_hit, run, lambda carry: carry, carry)
+
+        bt, bi, bu, bv = jax.lax.fori_loop(
+            0, n_clusters, cluster_body, init
+        )
+        out_t[...] = bt
+        out_id[...] = jnp.where(bt < _INF, bi, -1)
+        out_u[...] = bu
+        out_v[...] = bv
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=())
-def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d):
-    """Closest hit for (N,3) rays against (F,3) triangles.
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, interpret: bool = False):
+    """Closest hit for (N, 3) rays against (F, 3) triangles.
 
-    Returns (tri_id, valid, uv, t) — the OptiX payload contract.
-    Falls back to the blocked pure-JAX path when the scene exceeds the
-    VMEM-resident triangle budget.
+    Returns ``(tri_id, valid, uv, t)`` — the OptiX payload contract
+    (scene_optix.cpp:400-404).  Triangle order must already be
+    cluster-friendly (the scene layer Morton-sorts at configure time);
+    returned ids refer to the order given here.
     """
     f = p0.shape[0]
-    if f > MAX_VMEM_TRIS:
+    if f > MAX_SMEM_TRIS:
         from .intersect import ray_intersect_brute
 
         return ray_intersect_brute(p0, e1, e2, ray_o, ray_d)
 
     n = ray_o.shape[0]
-    f_pad = -(-f // TRI_LANES) * TRI_LANES
-    n_pad = -(-n // R_TILE) * R_TILE
+    f_pad = -(-f // CLUSTER) * CLUSTER
+    n_clusters = f_pad // CLUSTER
+    tile = R_ROWS * LANES
+    n_pad = -(-n // tile) * tile
 
     def pad_tri(x):
         return jnp.pad(x, ((0, f_pad - f), (0, 0))) if f_pad != f else x
 
     p0p, e1p, e2p = pad_tri(p0), pad_tri(e1), pad_tri(e2)
-    tri_comps = [
-        arr[:, i].reshape(f_pad // TRI_LANES, TRI_LANES)
-        for arr in (p0p, e1p, e2p)
-        for i in range(3)
+    tri = jnp.concatenate([p0p.T, e1p.T, e2p.T], axis=0)  # (9, f_pad)
+
+    # cluster AABBs from triangle vertices (degenerate padding collapses to
+    # the origin-point box of the padded p0=0 triangles; harmless)
+    v0 = p0p.reshape(n_clusters, CLUSTER, 3)
+    v1 = (p0p + e1p).reshape(n_clusters, CLUSTER, 3)
+    v2 = (p0p + e2p).reshape(n_clusters, CLUSTER, 3)
+    lo = jnp.minimum(jnp.minimum(v0.min(1), v1.min(1)), v2.min(1))
+    hi = jnp.maximum(jnp.maximum(v0.max(1), v1.max(1)), v2.max(1))
+    boxes = jnp.concatenate([lo.T, hi.T], axis=0)  # (6, n_clusters)
+
+    def pad_ray(x, fill):
+        if n_pad != n:
+            x = jnp.concatenate(
+                [x, jnp.full((n_pad - n,), fill, x.dtype)], axis=0
+            )
+        return x.reshape(n_pad // LANES, LANES)
+
+    ray_comps = [pad_ray(ray_o[:, i], 0.0) for i in range(3)] + [
+        pad_ray(ray_d[:, i], 1.0) for i in range(3)
     ]
 
-    def pad_ray(x):
-        return jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
-
-    ro, rd = pad_ray(ray_o), pad_ray(ray_d)
-    ray_comps = [arr[:, i].reshape(n_pad, 1) for arr in (ro, rd) for i in range(3)]
-
-    n_tri_blocks = f_pad // TRI_LANES
-    grid = (n_pad // R_TILE,)
-    ray_spec = pl.BlockSpec((R_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec(
-        (n_tri_blocks, TRI_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+    n_rows = n_pad // LANES
+    grid = (n_rows // R_ROWS,)
+    ray_spec = pl.BlockSpec(
+        (R_ROWS, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
-    out_specs = [ray_spec] * 4
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[ray_spec] * 6,
+        out_specs=[ray_spec] * 4,
+    )
 
     out_t, out_id, out_u, out_v = pl.pallas_call(
-        _kernel(n_tri_blocks),
-        grid=grid,
-        in_specs=[ray_spec] * 6 + [tri_spec] * 9,
-        out_specs=out_specs,
+        _kernel(f_pad, n_clusters),
+        grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
         ],
-    )(*ray_comps, *tri_comps)
+        interpret=interpret,
+    )(tri, boxes, *ray_comps)
 
-    tri_id = out_id[:n, 0]
-    t = out_t[:n, 0]
+    tri_id = out_id.reshape(-1)[:n]
+    t = out_t.reshape(-1)[:n]
     valid = tri_id >= 0
-    uv = jnp.stack([out_u[:n, 0], out_v[:n, 0]], axis=-1)
+    uv = jnp.stack([out_u.reshape(-1)[:n], out_v.reshape(-1)[:n]], axis=-1)
     return tri_id, valid, uv, t

@@ -39,6 +39,7 @@ from ..emitter.envmap import (
 )
 from ..bsdf.bsdf import eval_dispatch, sample_dispatch, pdf_dispatch
 from ..ops.intersect import ray_intersect_detached
+from ..ops.gather import gather_rows
 
 
 @pytree
@@ -72,6 +73,32 @@ class SceneData:
     # ------------------------------------------------------------------
     # Intersection (scene.cpp:612-806)
     # ------------------------------------------------------------------
+    def gather_tri_diff(self, idx):
+        """Gather all *differentiable* per-face fields for hit indices.
+
+        Packs (p0, e1, e2, n0, n1, n2, face_normal, face_area, uv0..2) into
+        one (F, 28) matrix and gathers it in a single op.  In differentiable
+        code the gather is a one-hot matmul: its transpose is one MXU matmul
+        into (F, 28) instead of ~9 separate scatter-adds — TPU scatters have
+        a large fixed cost (~30 ms each on v5e), which otherwise dominates the
+        backward pass of every bounce.
+        """
+        tri = self.tri
+        packed = jnp.concatenate(
+            [
+                tri.p0, tri.e1, tri.e2, tri.n0, tri.n1, tri.n2,
+                tri.face_normal, tri.face_area[:, None],
+                self.tri_uv.reshape(-1, 6),
+            ],
+            axis=1,
+        )  # (F, 28)
+        rows = gather_rows(packed, idx)
+        return (
+            rows[..., 0:3], rows[..., 3:6], rows[..., 6:9], rows[..., 9:12],
+            rows[..., 12:15], rows[..., 15:18], rows[..., 18:21],
+            rows[..., 21], rows[..., 22:28].reshape(idx.shape + (3, 2)),
+        )
+
     def ray_intersect(self, ray: Ray, active=None, mode: str = "path",
                       backend: str = "auto"):
         """Closest hit + differentiable reconstruction.
@@ -91,16 +118,9 @@ class SceneData:
         )
         idx = jnp.maximum(tri_id, 0)
 
-        p0 = tri.p0[idx]
-        e1 = tri.e1[idx]
-        e2 = tri.e2[idx]
-        n0 = tri.n0[idx]
-        n1 = tri.n1[idx]
-        n2 = tri.n2[idx]
-        face_normal = tri.face_normal[idx]
-        face_area = tri.face_area[idx]
+        (p0, e1, e2, n0, n1, n2, face_normal, face_area,
+         uv_info) = self.gather_tri_diff(idx)
         face_indices = tri.face_indices[idx]
-        uv_info = self.tri_uv[idx]           # (..., 3, 2)
         fn_mask = self.face_normal_mask[idx]
         mesh_id = self.face_mesh_id[idx]
 
@@ -246,8 +266,12 @@ class SceneData:
 
         u0 = sample3[..., 0]
         edge_idx, pdf0, u0 = self.sec_edge_distrb.sample_reuse(u0)
-        e1 = se.e1[edge_idx]            # differentiable
-        p0_edge = se.p0[edge_idx]
+        # differentiable gather of (p0, e1) in one packed matmul-gather
+        rows = gather_rows(
+            jnp.concatenate([se.p0, se.e1], axis=1), edge_idx
+        )
+        p0_edge = rows[..., 0:3]
+        e1 = rows[..., 3:6]
         n0 = jax.lax.stop_gradient(se.n0[edge_idx])
         n1 = jax.lax.stop_gradient(se.n1[edge_idx])
         p2_third = jax.lax.stop_gradient(se.p2[edge_idx])
@@ -401,9 +425,35 @@ class Scene:
         lower = jnp.min(jnp.stack(all_lo), axis=0)
         upper = jnp.max(jnp.stack(all_hi), axis=0)
 
-        # envmap bounding mesh (scene.cpp:435-485)
+        # envmap bounding mesh (scene.cpp:435-485).  The reference uses
+        # min(extent)*0.05 (scene.cpp:436), which collapses to a degenerate
+        # box for flat scenes; use 5% of the max extent with a floor instead.
+        # The box must also CONTAIN every camera, or primary rays hit the sky
+        # box before the scene (the reference implicitly assumes this).
         if self.emitter_env is not None:
-            margin = jnp.min((upper - lower) * 0.05)
+            from ..sensor import OrthographicCamera
+
+            cam_pts = []
+            for s in self.sensors:
+                to_world = s.to_world_left @ s.to_world_raw @ s.to_world_right
+                if isinstance(s, OrthographicCamera):
+                    for cx in (-1.2, 1.2):
+                        for cy in (-1.2, 1.2):
+                            cam_pts.append(
+                                jnp.asarray([cx, cy, 0.0]) @ to_world[:3, :3].T
+                                + to_world[:3, 3]
+                            )
+                else:
+                    cam_pts.append(to_world[:3, 3])
+            if cam_pts:
+                pts = jax.lax.stop_gradient(jnp.stack(cam_pts))
+                lower = jnp.minimum(lower, jnp.min(pts, axis=0))
+                upper = jnp.maximum(upper, jnp.max(pts, axis=0))
+            ext = upper - lower
+            margin = jnp.maximum(
+                0.05 * jnp.max(ext),
+                1e-3 * jnp.maximum(1.0, jnp.max(jnp.abs(upper) + jnp.abs(lower))),
+            )
             lower = lower - margin
             upper = upper + margin
             bound_mesh, bound_data = _make_bound_mesh(lower, upper)

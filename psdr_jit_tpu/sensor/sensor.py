@@ -20,6 +20,7 @@ from ..core.distribution import DiscreteDistribution
 from ..core.records import PrimaryEdgeSample, SensorDirectSample
 from ..core.math import normalize, norm, safe_div, safe_sqrt, squared_norm, dot
 from ..core import transform as xf
+from ..ops.gather import gather_rows
 
 
 @pytree
@@ -121,8 +122,11 @@ def sample_primary_edge(sensor: SensorData, sample1) -> PrimaryEdgeSample:
     edge_idx, pdf, u = info.distrb.sample_reuse(sample1)
     pdf = safe_div(pdf, jax.lax.stop_gradient(info.edge_length[edge_idx]))
     edge_normal = jax.lax.stop_gradient(info.edge_normal[edge_idx])
-    p0 = info.p0[edge_idx]
-    p1 = info.p1[edge_idx]
+    rows = gather_rows(
+        jnp.concatenate([info.p0, info.p1], axis=1), edge_idx
+    )
+    p0 = rows[..., 0:2]
+    p1 = rows[..., 2:4]
     p_diff = p0 * (1.0 - u[..., None]) + p1 * u[..., None]
     p = jax.lax.stop_gradient(p_diff)
     x_dot_n = dot(p_diff, edge_normal)

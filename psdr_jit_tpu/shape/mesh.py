@@ -26,6 +26,7 @@ from ..core.math import normalize, norm, cross, safe_div, bilinear
 from ..core.distribution import DiscreteDistribution
 from ..core.records import PositionSample
 from ..core import warp
+from ..ops.gather import gather_rows
 from ..utils import obj as obj_io
 
 
@@ -120,12 +121,22 @@ def process_mesh(vertex_positions, face_indices):
     fa = norm(fn)
 
     nv = vertex_positions.shape[0]
-    vertex_normals = jnp.zeros((nv, 3), vertex_positions.dtype)
-    vertex_weights = jnp.zeros((nv,), vertex_positions.dtype)
-    for i in range(3):
-        vertex_normals = vertex_normals.at[fi[:, i]].add(fn)
-        vertex_weights = vertex_weights.at[fi[:, i]].add(fa)
-    vertex_normals = normalize(safe_div(vertex_normals, vertex_weights[:, None]))
+    # vertex accumulation as one one-hot matmul instead of 6 scatter-adds:
+    # TPU scatters carry a ~30 ms fixed cost each and this runs inside every
+    # differentiable scene compile.  corner_idx: (3F,), vals: (3F, 4).
+    corner_idx = jnp.reshape(jnp.transpose(fi), (-1,))
+    vals = jnp.tile(
+        jnp.concatenate([fn, fa[:, None]], axis=1), (3, 1)
+    )  # (3F, 4)
+    if nv <= 4096:
+        oh = jax.nn.one_hot(corner_idx, nv, dtype=vals.dtype)
+        acc = jax.lax.dot_general(
+            oh, vals, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        acc = jnp.zeros((nv, 4), vals.dtype).at[corner_idx].add(vals)
+    vertex_normals = normalize(safe_div(acc[:, :3], acc[:, 3:4]))
 
     face_normal = fn * safe_div(1.0, fa)[:, None]
     face_area = fa * 0.5
@@ -328,11 +339,18 @@ def sample_position(mesh_data: MeshData, sample2) -> PositionSample:
         jnp.stack([u0, sample2[..., 1]], axis=-1)
     )
     tri = mesh_data.tri
-    face_area = tri.face_area[idx]
-    p0, e1, e2 = tri.p0[idx], tri.e1[idx], tri.e2[idx]
+    rows = gather_rows(
+        jnp.concatenate(
+            [tri.p0, tri.e1, tri.e2, tri.face_normal,
+             tri.face_area[:, None]], axis=1
+        ),
+        idx,
+    )
+    p0, e1, e2 = rows[..., 0:3], rows[..., 3:6], rows[..., 6:9]
+    face_area = rows[..., 12]
     J = safe_div(face_area, jax.lax.stop_gradient(face_area))
     p = bilinear(p0, e1, e2, st)
-    n = tri.face_normal[idx]
+    n = rows[..., 9:12]
     inv_total = safe_div(1.0, mesh_data.total_area)
     return PositionSample(
         p=p,
