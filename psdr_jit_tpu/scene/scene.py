@@ -477,6 +477,24 @@ class Scene:
             for i, md in enumerate(mesh_datas)
         ])
 
+        # Morton-reorder the global triangle stream so the intersector's
+        # 64-triangle clusters are spatially tight (static permutation
+        # computed host-side in Scene.configure; topology-stable across
+        # parameter updates).  The envmap bound mesh stays at the tail.
+        perm = getattr(self, "_tri_perm", None)
+        f_total = face_mesh_id.shape[0]
+        if perm is not None and perm.shape[0] <= f_total:
+            full_perm = jnp.concatenate([
+                jnp.asarray(perm, jnp.int32),
+                jnp.arange(perm.shape[0], f_total, dtype=jnp.int32),
+            ])
+            tri = jax.tree_util.tree_map(
+                lambda x: jnp.take(x, full_perm, axis=0), tri
+            )
+            tri_uv = jnp.take(tri_uv, full_perm, axis=0)
+            face_normal_mask = jnp.take(face_normal_mask, full_perm, axis=0)
+            face_mesh_id = jnp.take(face_mesh_id, full_perm, axis=0)
+
         mesh_bsdf_slot = jnp.asarray(
             [m.bsdf_id for m in mesh_list], jnp.int32
         )
@@ -571,8 +589,31 @@ class Scene:
     def configure(self, active_sensors=None):
         """Eagerly (re)build and cache scene data (reference sc.configure())."""
         self._active_sensors = active_sensors
+        self._tri_perm = self._compute_tri_perm()
         self._data = self.configure_data(active_sensors)
         return self._data
+
+    def _compute_tri_perm(self):
+        """Morton permutation of all user-mesh faces (host-side, static).
+
+        Only computed for scenes big enough that the intersector's cluster
+        AABBs matter; based on the current (concrete) transforms, stays valid
+        as a heuristic ordering when parameters move during optimization.
+        """
+        total_faces = sum(m.num_faces for m in self.meshes)
+        if total_faces <= 256:
+            return None
+        from ..native import morton_order
+
+        cents = []
+        for m in self.meshes:
+            tw = np.asarray(
+                m.to_world_left @ m.to_world_raw @ m.to_world_right
+            )
+            v = np.asarray(m.vertex_positions_raw) @ tw[:3, :3].T + tw[:3, 3]
+            f = np.asarray(m.face_indices)
+            cents.append(v[f].mean(axis=1))
+        return np.asarray(morton_order(np.concatenate(cents)), np.int32)
 
     @property
     def data(self) -> SceneData:

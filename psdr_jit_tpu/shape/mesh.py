@@ -70,13 +70,19 @@ class MeshData:
 
 
 def build_edge_list(faces: np.ndarray) -> np.ndarray:
-    """Vectorized edge-map build returning (E, 5) int32.
+    """Edge-map build returning (E, 5) int32.
 
     Columns: [v_lo, v_hi, face0, face1 (-1 if boundary), third_vertex_of_face0]
     matching the reference's map-based construction (mesh.cpp:112-149): face0
     is the lowest-index face containing the edge, and the third vertex comes
-    from that face.
+    from that face.  Uses the native C++ builder when available; the numpy
+    path below is the fallback and the semantic specification.
     """
+    from ..native import build_edge_list as native_edges
+
+    native_out = native_edges(np.asarray(faces, np.int32))
+    if native_out is not None:
+        return native_out
     f = np.asarray(faces, np.int64)
     nf = f.shape[0]
     # 3 directed edges per face: (vi, vj, face, third)

@@ -18,7 +18,13 @@ def read_image(path: str) -> np.ndarray:
         return np.asarray(np.load(path), np.float32)
     if path.endswith(".pfm"):
         return read_pfm(path)
-    raise ValueError(f"Unsupported image format: {path} (use .npy or .pfm)")
+    if path.endswith(".exr"):
+        from ..native import read_exr
+
+        return read_exr(path)
+    raise ValueError(
+        f"Unsupported image format: {path} (use .exr, .npy or .pfm)"
+    )
 
 
 def write_image(path: str, img) -> None:
@@ -29,6 +35,10 @@ def write_image(path: str, img) -> None:
         write_pfm(path, img)
     elif path.endswith(".ppm"):
         write_ppm(path, img)
+    elif path.endswith(".exr"):
+        from ..native import write_exr
+
+        write_exr(path, img)
     else:
         raise ValueError(f"Unsupported image format: {path}")
 

@@ -17,10 +17,18 @@ def load_obj(path_or_text: str, from_string: bool = False):
     ``uvs`` (T,2) f32 or None, ``face_uvs`` (F,3) i32 or None.
     """
     if from_string:
-        lines = path_or_text.splitlines()
+        text = path_or_text
     else:
         with open(path_or_text, "r") as f:
-            lines = f.read().splitlines()
+            text = f.read()
+
+    from ..native import parse_obj
+
+    native_out = parse_obj(text.encode())
+    if native_out is not None:
+        return native_out
+
+    lines = text.splitlines()
 
     vertices: list = []
     uvs: list = []
