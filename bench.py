@@ -47,7 +47,10 @@ def main():
         img = integ.renderD(sc, 0, seed=seed, pix_id=pix)
         return jnp.sum(jnp.square(img))
 
-    grad_fn = jax.grad(loss_fn, argnums=(0, 1))
+    # One jitted program per chunk: the outer jit keeps the traced scene
+    # compile + autodiff on-device (eager dispatch costs ~0.7 s/chunk of
+    # host latency otherwise).
+    grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
     zeros_v = jnp.zeros_like(base_v)
     zeros_r = jnp.zeros_like(base_r)
 
@@ -61,7 +64,7 @@ def main():
         gv = jnp.zeros_like(base_v)
         gr = jnp.zeros_like(base_r)
         for c in range(n_chunks):
-            g = grad_fn(zeros_v, zeros_r, seed, all_pix[c])
+            g = grad_fn(zeros_v, zeros_r, jnp.uint32(seed), all_pix[c])
             gv = gv + g[0]
             gr = gr + g[1]
         return gv, gr
@@ -74,19 +77,19 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_iter):
         g = full_grad(i + 1)
-    jax.block_until_ready(g)
+    g = jax.tree_util.tree_map(lambda x: float(x.sum()), g)  # force
     dt = (time.perf_counter() - t0) / n_iter
 
     n_rays = WIDTH * HEIGHT * SPP * RAYS_PER_SAMPLE
     mrays = n_rays / dt / 1e6
 
-    # Speed-of-light estimate: intersection is the dominant cost.  The
-    # brute-force kernel does F_pad triangle tests per ray at ~48 flops
-    # (VPU fma-counted) each; a v5-class chip VPU sustains ~2e13 f32 flop/s.
+    # Speed-of-light estimate: intersection is the dominant unavoidable cost.
+    # The cluster-brute kernel does ~F_pad triangle tests per ray at ~48
+    # VPU flops each; a v5e VPU sustains ~4e12 f32 flop/s.
     # (BASELINE.json "published" is empty — no reference numbers exist.)
-    f_pad = 128 * -(-sum(m.num_faces for m in sc.meshes) // 128)
-    vpu_flops = 2.0e13
-    sol_mrays = vpu_flops / (f_pad * 48.0) / 1e6 * RAYS_PER_SAMPLE
+    f_pad = 64 * -(-sum(m.num_faces for m in sc.meshes) // 64)
+    vpu_flops = 4.0e12
+    sol_mrays = vpu_flops / (f_pad * 48.0) / 1e6
     print(json.dumps({
         "metric": "cbox512_spp32_depth3_fwdbwd",
         "value": round(mrays, 3),

@@ -48,6 +48,77 @@ from .integrator import (
     FieldExtractionIntegrator,
 )
 
+import dataclasses as _dataclasses
+
+
+@_dataclasses.dataclass
+class EdgeSortOption:
+    """Bound-but-unused in the reference (types.h:230-237, psdr.cpp:145-151);
+    kept for API compatibility with scripts that construct it."""
+
+    enable_sort: bool = False
+    local_angle: float = 180.0
+    global_angle: float = 90.0
+    min_global_step: int = 1
+    max_depth: int = 1
+
+
+@_dataclasses.dataclass
+class AQ_Option:
+    """Adaptive-quadrature guiding options — dead code in the reference
+    (types.h:240-268); accepted for compatibility, currently unused."""
+
+    num_x: int = 1
+    num_y: int = 1
+    num_z: int = 1
+    thold: float = 0.0
+    wt1: float = 0.0
+    max_depth: int = 0
+    final_spp: int = 0
+    RMSE_wt: float = 0.0
+    eps: float = 0.0
+
+
+def drjit_test():
+    """AD sanity check mirroring the reference's psdr.cpp:70-86 smoke test."""
+    import jax
+    import jax.numpy as jnp
+
+    g = jax.grad(lambda a: jnp.sum(a * 2.0))(jnp.arange(4.0))
+    print("backward grad of sum(2a):", g)
+    assert bool((g == 2.0).all())
+    return True
+
+
+def drjit_memory():
+    """Array store/readback smoke test (reference psdr.cpp:89-98)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    a = jnp.arange(1024, dtype=jnp.float32)
+    b = np.asarray(a * 3.0)
+    assert b[-1] == (1024 - 1) * 3.0
+    return True
+
+
+def optix_jit_test():
+    """Intersection backend smoke test (reference psdr.cpp:65-68): two quads,
+    closest-hit ids must resolve front-to-back."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .ops.intersect import ray_intersect_brute
+
+    p0 = jnp.asarray([[-1, -1, 2], [-1, -1, 4]], jnp.float32)
+    e1 = jnp.asarray([[2, 0, 0], [2, 0, 0]], jnp.float32)
+    e2 = jnp.asarray([[0, 2, 0], [0, 2, 0]], jnp.float32)
+    ro = jnp.zeros((4, 3), jnp.float32)
+    rd = jnp.asarray([[0, 0, 1.0]] * 4, jnp.float32)
+    tri_id, valid, uv, t = ray_intersect_brute(p0, e1, e2, ro, rd)
+    assert bool(valid.all()) and bool((np.asarray(tri_id) == 0).all())
+    print("closest-hit ids:", np.asarray(tri_id), "t:", np.asarray(t))
+    return True
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -59,4 +130,6 @@ __all__ = [
     "AreaLight", "EnvironmentMap",
     "PerspectiveCamera", "OrthographicCamera",
     "PathTracer", "Direct", "CollocatedIntegrator", "FieldExtractionIntegrator",
+    "EdgeSortOption", "AQ_Option",
+    "drjit_test", "drjit_memory", "optix_jit_test",
 ]

@@ -20,6 +20,11 @@ class DiffuseBSDF(BSDF):
     def __init__(self, reflectance=(0.5, 0.5, 0.5), twoSide: bool = False):
         if isinstance(reflectance, Bitmap):
             self.reflectance = reflectance
+        elif isinstance(reflectance, str):
+            # reference Diffuse(const char*) — texture from image file
+            from ..core.bitmap import Bitmap3f
+
+            self.reflectance = Bitmap3f(reflectance)
         else:
             import numpy as np
 

@@ -108,6 +108,39 @@ class Bitmap:
         arr = np.asarray(value, np.float32).reshape(-1)
         self.data = jnp.asarray(arr, jnp.float32).reshape(1, 1, arr.size)
 
+    # reference attribute aliases (psdr.cpp:204-206 'translate'/'rotate')
+    @property
+    def translate(self):
+        return self.trans
+
+    @translate.setter
+    def translate(self, v):
+        self.trans = jnp.asarray(v, jnp.float32)
+
+    @property
+    def rotate(self):
+        return self.rot
+
+    @rotate.setter
+    def rotate(self, v):
+        self.rot = jnp.float32(v)
+
+    def load_openexr(self, path: str):
+        """Load pixel data from an EXR file (reference Bitmap::load_openexr)."""
+        from ..utils.image import read_image
+
+        arr = np.asarray(read_image(path), np.float32)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if self.channels == 1 and arr.shape[-1] > 1:
+            arr = arr[..., :1]
+        elif self.channels == 3 and arr.shape[-1] == 4:
+            arr = arr[..., :3]
+        elif self.channels == 3 and arr.shape[-1] == 1:
+            arr = np.repeat(arr, 3, axis=-1)
+        self.data = jnp.asarray(arr)
+        return self
+
     @property
     def resolution(self):
         return (self.data.shape[1], self.data.shape[0])  # (W, H)
@@ -128,7 +161,13 @@ class Bitmap:
 
 
 def Bitmap1f(value=0.0) -> Bitmap:
-    """Reference-compatible constructor for 1-channel bitmaps."""
+    """Reference-compatible constructor for 1-channel bitmaps.
+
+    Accepts a scalar, an (H, W[, 1]) array, or an image file path
+    (reference Bitmap1fD(const char*), psdr.cpp:199).
+    """
+    if isinstance(value, str):
+        return Bitmap.from_value(np.float32(0.0), 1).load_openexr(value)
     arr = np.asarray(value, np.float32)
     if arr.ndim >= 2:
         return Bitmap.from_array(arr if arr.ndim == 3 else arr[..., None])
@@ -136,7 +175,12 @@ def Bitmap1f(value=0.0) -> Bitmap:
 
 
 def Bitmap3f(value=(0.5, 0.5, 0.5)) -> Bitmap:
-    """Reference-compatible constructor for 3-channel bitmaps."""
+    """Reference-compatible constructor for 3-channel bitmaps.
+
+    Accepts an RGB triple, an (H, W, 3) array, or an image file path.
+    """
+    if isinstance(value, str):
+        return Bitmap.from_value(np.full(3, 0.5, np.float32), 3).load_openexr(value)
     arr = np.asarray(value, np.float32)
     if arr.ndim >= 3:
         return Bitmap.from_array(arr)

@@ -32,6 +32,11 @@ class EnvironmentMap:
     def __init__(self, radiance=None, scale=1.0):
         if radiance is None:
             radiance = Bitmap.from_value(jnp.ones(3), 3)
+        elif isinstance(radiance, str):
+            # reference EnvironmentMap(const char*) — load from image file
+            from ..utils.image import read_image
+
+            radiance = Bitmap.from_array(read_image(radiance)[..., :3])
         elif not isinstance(radiance, Bitmap):
             radiance = Bitmap.from_array(radiance)
         self.radiance = radiance

@@ -52,22 +52,37 @@ class Integrator:
         return None
 
     # -- public API (psdr.cpp:420-421) ----------------------------------------
+    @staticmethod
+    def _norm_args(scene, seed, pix_id, batch_pix):
+        """Reference argument conventions (psdr.cpp:420-421): ``seed=-1``
+        means use the scene seed; ``batch_pix`` is the crop-id array (or -1
+        for full frame)."""
+        if seed is None or (isinstance(seed, int) and seed < 0):
+            seed = scene.seed
+        if pix_id is None and batch_pix is not None and not (
+            isinstance(batch_pix, int) and batch_pix < 0
+        ):
+            pix_id = batch_pix
+        return seed, pix_id
+
     def renderC(self, scene: Scene, sensor_id: int = 0, seed: int = 0,
-                pix_id=None):
+                pix_id=None, batch_pix=None):
         """Primal render (reference Integrator::renderC)."""
+        seed, pix_id = self._norm_args(scene, seed, pix_id, batch_pix)
         sd = jax.lax.stop_gradient(scene.data)
         fn = self._get_jit("C", _opts_key(scene.opts), sensor_id,
                            pix_id is not None)
         return fn(sd, jnp.uint32(seed), pix_id)
 
     def renderD(self, scene: Scene, sensor_id: int = 0, seed: int = 0,
-                pix_id=None):
+                pix_id=None, batch_pix=None):
         """Differentiable render: interior + boundary terms
         (reference Integrator::renderD).
 
         Re-runs the traced scene compile so gradients flow from the image to
         every scene parameter currently set on the python scene objects.
         """
+        seed, pix_id = self._norm_args(scene, seed, pix_id, batch_pix)
         sd = scene.configure_data(scene._active_sensors)
         fn = self._get_jit("D", _opts_key(scene.opts), sensor_id,
                            pix_id is not None)

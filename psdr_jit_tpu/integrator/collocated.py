@@ -16,6 +16,17 @@ class CollocatedIntegrator(Integrator):
         if self.intensity.shape[0] == 1:
             self.intensity = jnp.repeat(self.intensity, 3)
 
+    # reference attribute name (psdr.cpp binds 'm_intensity')
+    @property
+    def m_intensity(self):
+        return self.intensity
+
+    @m_intensity.setter
+    def m_intensity(self, v):
+        self.intensity = jnp.asarray(v, jnp.float32).reshape(-1)
+        if self.intensity.shape[0] == 1:
+            self.intensity = jnp.repeat(self.intensity, 3)
+
     def Li(self, sd, sampler, ray, active, diff: bool):
         its = sd.ray_intersect(ray, active, mode="solid" if diff else "path")
         active = active & its.valid

@@ -380,6 +380,56 @@ class Scene:
         self._rebuild_param_map()
         return mesh
 
+    def add_normalmap_BSDF(self, nmap_bsdf, nested_bsdf, bsdf_id: str = "",
+                           twoSide: bool = False):
+        """Reference-compatible helper (psdr.cpp add_normalmap_BSDF): wraps
+        ``nested_bsdf`` with ``nmap_bsdf``'s normal map."""
+        from ..bsdf import NormalMapBSDF
+
+        nm = NormalMapBSDF(nmap_bsdf.nmap if hasattr(nmap_bsdf, "nmap")
+                           else nmap_bsdf, nested_bsdf, twoSide=twoSide)
+        return self.add_BSDF(nm, bsdf_id, twoSide)
+
+    # -- loading (reference Scene.load_file/load_string, psdr.cpp:407-408) --
+    def load_file(self, file_name: str, auto_configure: bool = True):
+        from .loader import load_file as _load
+
+        self._adopt(_load(file_name))
+        if auto_configure:
+            self.configure()
+
+    def load_string(self, scene_xml: str, auto_configure: bool = True):
+        from .loader import load_string as _load
+
+        self._adopt(_load(scene_xml))
+        if auto_configure:
+            self.configure()
+
+    def _adopt(self, other: "Scene"):
+        for name in ("opts", "meshes", "bsdfs", "bsdf_ids", "emitters",
+                     "sensors", "emitter_env", "param_map"):
+            setattr(self, name, getattr(other, name))
+        self._data = None
+
+    def get_num_emitters(self) -> int:
+        return len(self.emitters)
+
+    # -- intersection inspection (psdr.cpp:404-405) -------------------------
+    def unit_ray_intersect(self, ray_o, ray_d):
+        """Detached intersection of user rays (reference unit_ray_intersect)."""
+        sd = jax.lax.stop_gradient(self.data)
+        return sd.ray_intersect(
+            Ray(jnp.asarray(ray_o, jnp.float32), jnp.asarray(ray_d, jnp.float32)),
+            mode="path",
+        )
+
+    def unit_ray_intersectAD(self, ray_o, ray_d):
+        sd = self.configure_data(self._active_sensors)
+        return sd.ray_intersect(
+            Ray(jnp.asarray(ray_o, jnp.float32), jnp.asarray(ray_d, jnp.float32)),
+            mode="solid",
+        )
+
     def _rebuild_param_map(self):
         pm = {}
         for i, m in enumerate(self.meshes):

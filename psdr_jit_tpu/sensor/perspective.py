@@ -17,7 +17,22 @@ from .sensor import SensorData, build_primary_edges
 class PerspectiveCamera:
     """User-facing perspective camera; fov-x or intrinsics parameterisation."""
 
-    def __init__(self, fov=60.0, near=1e-6, far=1e7):
+    def __init__(self, fov=60.0, near=1e-6, far=1e7, *intrinsic_rest):
+        if intrinsic_rest:
+            # reference 6-float ctor: (fx, fy, cx, cy, near, far)
+            assert len(intrinsic_rest) == 3
+            fx, fy, cx = float(fov), float(near), float(far)
+            cy, near, far = (float(v) for v in intrinsic_rest)
+            self.fov = 60.0
+            self.use_intrinsic = True
+            self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+            self.near_clip = float(near)
+            self.far_clip = float(far)
+            self.to_world_raw = jnp.eye(4, dtype=jnp.float32)
+            self.to_world_left = jnp.eye(4, dtype=jnp.float32)
+            self.to_world_right = jnp.eye(4, dtype=jnp.float32)
+            self.id = ""
+            return
         self.fov = float(fov)
         self.near_clip = float(near)
         self.far_clip = float(far)

@@ -183,7 +183,42 @@ class Mesh:
         self.emitter_id = -1
         self.id = ""
 
-    # -- reference-compatible property ------------------------------------
+    # -- reference-compatible properties -----------------------------------
+    @property
+    def use_face_normal(self):
+        """Reference attribute name (psdr.cpp binds 'use_face_normal')."""
+        return self.use_face_normals
+
+    @use_face_normal.setter
+    def use_face_normal(self, v):
+        self.use_face_normals = bool(v)
+
+    @property
+    def vertex_normals(self):
+        """Object-space area-weighted vertex normals (mesh.cpp:23-62)."""
+        _, vn = process_mesh(
+            jnp.asarray(self.vertex_positions_raw),
+            jnp.asarray(self.face_indices, jnp.int32),
+        )
+        return vn
+
+    @property
+    def vertex_positions(self):
+        """Reference alias: object-space raw positions (psdr.cpp:330-331)."""
+        return self.vertex_positions_raw
+
+    @vertex_positions.setter
+    def vertex_positions(self, v):
+        self.vertex_positions_raw = jnp.asarray(v, jnp.float32)
+
+    def sample_position(self, sample2, active=None) -> PositionSample:
+        """Uniform-area surface sampling (reference Mesh.sample_position)."""
+        md = self.configure_data(with_edges=False)
+        ps = sample_position(md, jnp.asarray(sample2, jnp.float32))
+        if active is not None:
+            ps = ps.replace(is_valid=ps.is_valid & active)
+        return ps
+
     @property
     def to_world(self):
         return self.to_world_raw
