@@ -17,6 +17,14 @@ so users of psdr-jit can migrate: ``Scene``, ``RenderOption``, ``Mesh``,
 ``CollocatedIntegrator``, ``FieldExtractionIntegrator``, ``Bitmap1fD``, ``Bitmap3fD``.
 """
 
+import jax as _jax
+
+# A physically-based differentiable renderer needs true f32 linear algebra:
+# on TPU, f32 matmuls otherwise run as a single bf16 MXU pass (~8 mantissa
+# bits), which corrupts world transforms / camera matrices at scene scale
+# and silently destroys geometry gradients.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .core.types import RenderOption, Ray
 from .core.bitmap import Bitmap1f, Bitmap3f
 

@@ -85,12 +85,33 @@ def look_at(origin, target, up):
 
 
 def transform_pos(m, v):
-    """Apply 4x4 ``m`` to points ``v`` (..., 3) with perspective divide."""
-    r = v @ jnp.swapaxes(m[..., :3, :3], -1, -2) + m[..., :3, 3]
-    w = v @ m[..., 3, :3] + m[..., 3, 3]
+    """Apply 4x4 ``m`` to points ``v`` (..., 3) with perspective divide.
+
+    Written as explicit muls/adds rather than a matmul: TPU f32 matmuls
+    default to one bf16 MXU pass (~8 mantissa bits), which at scene scale
+    corrupts positions by O(1) units and destroys geometry gradients.
+    """
+    rot = m[..., :3, :3]
+    r = (
+        v[..., 0:1] * rot[..., :, 0]
+        + v[..., 1:2] * rot[..., :, 1]
+        + v[..., 2:3] * rot[..., :, 2]
+        + m[..., :3, 3]
+    )
+    w = (
+        v[..., 0] * m[..., 3, 0]
+        + v[..., 1] * m[..., 3, 1]
+        + v[..., 2] * m[..., 3, 2]
+        + m[..., 3, 3]
+    )
     return r / w[..., None]
 
 
 def transform_dir(m, v):
     """Apply the linear part of ``m`` to directions ``v`` (..., 3)."""
-    return v @ jnp.swapaxes(m[..., :3, :3], -1, -2)
+    rot = m[..., :3, :3]
+    return (
+        v[..., 0:1] * rot[..., :, 0]
+        + v[..., 1:2] * rot[..., :, 1]
+        + v[..., 2:3] * rot[..., :, 2]
+    )

@@ -32,6 +32,54 @@ STREAM_INTERIOR = 0
 STREAM_PRIMARY = 1
 STREAM_SECONDARY = 2
 
+# Max sample lanes materialised at once inside one fused program.  Larger
+# frames are processed as an in-jit loop over lane chunks: XLA's fusions
+# degrade (spills) on multi-million-lane graphs, and reverse-mode residuals
+# for a full frame exceed HBM — `jax.checkpoint` around each chunk bounds
+# backward memory to one chunk's activations.
+CHUNK_LANES = 1 << 20
+
+
+def _chunked_pixel_map(render_chunk, pix, spp: int, diff: bool):
+    """Map a per-pixel-chunk renderer over the pixel set, chunked in-jit."""
+    n_pix = pix.shape[0]
+    max_pix = max(CHUNK_LANES // max(spp, 1), 1)
+    if n_pix <= max_pix:
+        return render_chunk(pix)
+    k = -(-n_pix // max_pix)
+    n_pad = k * max_pix
+    pix_pad = jnp.concatenate(
+        [pix, jnp.zeros((n_pad - n_pix,), pix.dtype)]
+    ).reshape(k, max_pix)
+    body = jax.checkpoint(render_chunk) if diff else render_chunk
+    out = jax.lax.map(body, pix_pad)
+    return out.reshape(n_pad, -1)[:n_pix]
+
+
+def _chunked_splat_sum(chunk_img, n_samples: int, n_pix: int):
+    """Accumulate chunk images over lane chunks: sum_k chunk_img(lanes_k, mask).
+
+    ``chunk_img(lane_chunk, active)`` -> (n_pix, 3) partial image.  Chunks are
+    rematerialised in the backward pass (checkpoint), so edge-pass gradients
+    never hold more than one chunk of residuals.
+    """
+    if n_samples <= CHUNK_LANES:
+        lanes = jnp.arange(n_samples, dtype=jnp.uint32)
+        return chunk_img(lanes, jnp.ones((n_samples,), bool))
+    k = -(-n_samples // CHUNK_LANES)
+    n_pad = k * CHUNK_LANES
+    lanes = jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, CHUNK_LANES)
+    mask = (lanes < jnp.uint32(n_samples))
+    body = jax.checkpoint(chunk_img)
+
+    def scan_body(carry, xs):
+        return carry + body(xs[0], xs[1]), None
+
+    img, _ = jax.lax.scan(
+        scan_body, jnp.zeros((n_pix, 3), jnp.float32), (lanes, mask)
+    )
+    return img
+
 
 def _opts_key(opts: RenderOption):
     return (opts.width, opts.height, opts.spp, opts.sppe, opts.sppse)
@@ -48,7 +96,7 @@ class Integrator:
         raise NotImplementedError
 
     def render_secondary_edges(self, sd, opts, sensor_id, seed):
-        """Return derivative-only (value, pixel_idx) or None."""
+        """Return the derivative-only (n_pix, 3) boundary image, or None."""
         return None
 
     # -- public API (psdr.cpp:420-421) ----------------------------------------
@@ -114,8 +162,7 @@ class Integrator:
         if diff and opts.sppse > 0 and sd.sec_edge is not None:
             se = self.render_secondary_edges(sd, opts, sensor_id, seed)
             if se is not None:
-                value, idx = se
-                result = result + splat_add(value, idx, opts.num_pixels)
+                result = result + se
         return result
 
     # interior estimator (integrator.cpp:103-176)
@@ -131,52 +178,56 @@ class Integrator:
             n_pix = pix.shape[0]
         if opts.spp == 0:
             return jnp.zeros((n_pix, 3), jnp.float32)
-
         spp = opts.spp
-        n_samples = n_pix * spp
-        sample_pix = jnp.repeat(pix, spp)
-        # global sample index makes any pixel partition reproduce the
-        # full-frame sample set exactly (batch_pix contract)
-        lane = sample_pix.astype(jnp.uint32) * jnp.uint32(spp) + jnp.tile(
-            jnp.arange(spp, dtype=jnp.uint32), n_pix
-        )
-        sampler = Sampler(seed + jnp.uint32(STREAM_INTERIOR), lane)
 
-        x = (sample_pix % opts.width).astype(jnp.float32)
-        y = (sample_pix // opts.width).astype(jnp.float32)
-        base = jnp.stack([x, y], axis=-1)
-        samples = (base + sampler.next_2d()) / jnp.asarray(
-            [opts.width, opts.height], jnp.float32
-        )
-        ray = sensor.sample_primary_ray(samples, diff=diff)
-        active = jnp.ones((n_samples,), bool)
-        value = self.Li(sd, sampler, ray, active, diff)
-        value = scrub_nonfinite(value)
-        return interior_average(value, n_pix, spp)
+        def render_chunk(pix_chunk):
+            m = pix_chunk.shape[0]
+            sample_pix = jnp.repeat(pix_chunk, spp)
+            # global sample index makes any pixel partition reproduce the
+            # full-frame sample set exactly (batch_pix contract)
+            lane = sample_pix.astype(jnp.uint32) * jnp.uint32(spp) + jnp.tile(
+                jnp.arange(spp, dtype=jnp.uint32), m
+            )
+            sampler = Sampler(seed + jnp.uint32(STREAM_INTERIOR), lane)
+            x = (sample_pix % opts.width).astype(jnp.float32)
+            y = (sample_pix // opts.width).astype(jnp.float32)
+            base = jnp.stack([x, y], axis=-1)
+            samples = (base + sampler.next_2d()) / jnp.asarray(
+                [opts.width, opts.height], jnp.float32
+            )
+            ray = sensor.sample_primary_ray(samples, diff=diff)
+            active = jnp.ones((m * spp,), bool)
+            value = self.Li(sd, sampler, ray, active, diff)
+            value = scrub_nonfinite(value)
+            return interior_average(value, m, spp)
+
+        return _chunked_pixel_map(render_chunk, pix, spp, diff)
 
     # primary-edge boundary term (integrator.cpp:179-198)
     def _render_primary_edges(self, sd, opts, sensor_id, seed):
         sensor = sd.sensors[sensor_id]
         n_samples = opts.num_pixels * opts.sppe
-        lane = jnp.arange(n_samples, dtype=jnp.uint32)
-        sampler = Sampler(seed + jnp.uint32(STREAM_PRIMARY), lane)
-
-        es = sample_primary_edge(sensor, sampler.next_1d())
-        valid = es.idx >= 0
         sd_det = jax.lax.stop_gradient(sd)
-        # detached radiance difference across the edge; the sampler stream is
-        # shared across both sides like the reference's sequential Li calls
-        li_n = self.Li(sd_det, sampler, es.ray_n, valid, diff=False)
-        li_p = self.Li(sd_det, sampler, es.ray_p, valid, diff=False)
-        delta_l = jax.lax.stop_gradient(li_n - li_p)
         from ..core.math import safe_div
 
-        value = es.x_dot_n[..., None] * safe_div(
-            delta_l, es.pdf[..., None]
-        )
-        value = scrub_nonfinite(value)
-        if opts.sppe > 1:
-            value = value / float(opts.sppe)
-        value = value - jax.lax.stop_gradient(value)  # derivative-only
-        value = jnp.where(valid[..., None], value, 0.0)
-        return splat_add(value, es.idx, opts.num_pixels)
+        def chunk_img(lane, active):
+            sampler = Sampler(seed + jnp.uint32(STREAM_PRIMARY), lane)
+            es = sample_primary_edge(sensor, sampler.next_1d())
+            valid = active & (es.idx >= 0)
+            # detached radiance difference across the edge; the sampler stream
+            # is shared across both sides like the reference's sequential Li
+            li_n = self.Li(sd_det, sampler, es.ray_n, valid, diff=False)
+            li_p = self.Li(sd_det, sampler, es.ray_p, valid, diff=False)
+            delta_l = jax.lax.stop_gradient(li_n - li_p)
+            value = es.x_dot_n[..., None] * safe_div(
+                delta_l, es.pdf[..., None]
+            )
+            value = scrub_nonfinite(value)
+            if opts.sppe > 1:
+                value = value / float(opts.sppe)
+            value = value - jax.lax.stop_gradient(value)  # derivative-only
+            value = jnp.where(valid[..., None], value, 0.0)
+            return splat_add(value, jnp.where(valid, es.idx, -1),
+                             opts.num_pixels)
+
+        return _chunked_splat_sum(chunk_img, n_samples, opts.num_pixels)

@@ -28,7 +28,7 @@ class CollocatedIntegrator(Integrator):
             self.intensity = jnp.repeat(self.intensity, 3)
 
     def Li(self, sd, sampler, ray, active, diff: bool):
-        its = sd.ray_intersect(ray, active, mode="solid" if diff else "path")
+        its = sd.ray_intersect(ray, active, mode="solid" if diff else "path", diff=diff)
         active = active & its.valid
         value = sd.eval_bsdf(its, its.wi, active)
         value = value * safe_div(1.0, jnp.square(its.t))[..., None]

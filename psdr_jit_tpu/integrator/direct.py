@@ -22,7 +22,7 @@ class Direct(SecondaryEdgeMixin, Integrator):
         self.hide_emitters = hide_emitters
 
     def Li(self, sd, sampler, ray, active, diff: bool):
-        its = sd.ray_intersect(ray, active, mode="solid" if diff else "path")
+        its = sd.ray_intersect(ray, active, mode="solid" if diff else "path", diff=diff)
         active = active & its.valid
 
         throughput = jnp.ones(its.t.shape + (3,), jnp.float32)
@@ -63,7 +63,7 @@ def _nee_no_mis(sd, its, sampler, active, diff, throughput):
     dist_sqr = squared_norm(wod)
     dist = safe_sqrt(dist_sqr)
     wod = wod * safe_div(1.0, dist)[..., None]
-    its1 = sd.ray_intersect(Ray(its.p, wod), active_direct, mode="path")
+    its1 = sd.ray_intersect(Ray(its.p, wod), active_direct, mode="path", diff=diff)
     active_direct = (
         active_direct
         & its1.valid

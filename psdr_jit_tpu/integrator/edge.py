@@ -45,7 +45,7 @@ def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
     sd_det = jax.lax.stop_gradient(sd)
 
     # visibility p0 -> p2 must reach the emitter point (path.cpp:186-191)
-    _its2 = sd_det.ray_intersect(Ray(_p0, _dir), valid, mode="path")
+    _its2 = sd_det.ray_intersect(Ray(_p0, _dir), valid, mode="path", diff=False)
     valid = (
         valid
         & sd_det.is_emitter(_its2, valid)
@@ -54,7 +54,7 @@ def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
     )
 
     # opposite ray finds the receiver p1 (path.cpp:194-196)
-    _its1 = sd_det.ray_intersect(Ray(_p0, -_dir), valid, mode="path")
+    _its1 = sd_det.ray_intersect(Ray(_p0, -_dir), valid, mode="path", diff=False)
     valid = valid & _its1.valid
     _p1 = _its1.p
 
@@ -65,7 +65,7 @@ def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
     # differentiable camera ray toward that pixel (path.cpp:203-215)
     if diff:
         camera_ray = sensor.sample_primary_ray(sds.q, diff=True)
-        its1 = sd.ray_intersect(camera_ray, valid, mode="solid")
+        its1 = sd.ray_intersect(camera_ray, valid, mode="solid", diff=True)
         valid = (
             valid
             & jax.lax.stop_gradient(its1.valid)
@@ -74,7 +74,7 @@ def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
         valid = valid & (sd.bsdf_slot(jax.lax.stop_gradient(its1)) >= 0)
     else:
         camera_ray = sensor.sample_primary_ray(sds.q, diff=False)
-        its1 = sd_det.ray_intersect(camera_ray, valid, mode="path")
+        its1 = sd_det.ray_intersect(camera_ray, valid, mode="path", diff=False)
         valid = valid & its1.valid & (norm(its1.p - _p1) < SHADOW_EPSILON)
         valid = valid & (sd_det.bsdf_slot(its1) >= 0)
 
@@ -182,27 +182,30 @@ class SecondaryEdgeMixin:
         self.warpper[sensor_id] = HyperCubeDistribution.init(grid, result)
 
     def render_secondary_edges(self, sd: SceneData, opts, sensor_id, seed):
-        """path.cpp:274-294; returns (derivative-only values, pixel ids)."""
-        from .base import STREAM_SECONDARY
+        """path.cpp:274-294; returns the derivative-only (n_pix, 3) image."""
+        from .base import STREAM_SECONDARY, _chunked_splat_sum
+        from ..ops.image import splat_add
 
         n_samples = opts.num_pixels * opts.sppse
-        sampler = Sampler(
-            seed + jnp.uint32(STREAM_SECONDARY),
-            jnp.arange(n_samples, dtype=jnp.uint32),
-        )
-        sample3 = sampler.next_nd(3)
         warp = self.warpper.get(sensor_id)
-        if warp is not None:
-            sample3, pdf0 = warp.sample_reuse(sample3)
-        else:
-            pdf0 = jnp.ones(n_samples, jnp.float32)
 
-        idx, value = eval_secondary_edge(
-            sd, sd.sensors[sensor_id], sample3, diff=True
-        )
-        value = jnp.where(
-            (pdf0 > EPSILON)[..., None], safe_div(value, pdf0[..., None]), value
-        )
-        if opts.sppse > 1:
-            value = value / float(opts.sppse)
-        return value, idx
+        def chunk_img(lane, active):
+            sampler = Sampler(seed + jnp.uint32(STREAM_SECONDARY), lane)
+            sample3 = sampler.next_nd(3)
+            if warp is not None:
+                sample3, pdf0 = warp.sample_reuse(sample3)
+            else:
+                pdf0 = jnp.ones(lane.shape, jnp.float32)
+            idx, value = eval_secondary_edge(
+                sd, sd.sensors[sensor_id], sample3, diff=True
+            )
+            value = jnp.where(
+                (pdf0 > EPSILON)[..., None],
+                safe_div(value, pdf0[..., None]), value,
+            )
+            if opts.sppse > 1:
+                value = value / float(opts.sppse)
+            idx = jnp.where(active, idx, -1)
+            return splat_add(value, idx, opts.num_pixels)
+
+        return _chunked_splat_sum(chunk_img, n_samples, opts.num_pixels)

@@ -25,7 +25,7 @@ class FieldExtractionIntegrator(Integrator):
         self.object = parts[1] if len(parts) > 1 else ""
 
     def Li(self, sd, sampler, ray, active, diff: bool):
-        its = sd.ray_intersect(ray, active, mode="solid" if diff else "path")
+        its = sd.ray_intersect(ray, active, mode="solid" if diff else "path", diff=diff)
         active = active & its.valid
         # skip the envmap bounding mesh (field.cpp:53-56)
         active = active & (sd.bsdf_slot(its) >= 0)

@@ -22,7 +22,7 @@ def nee_contribution(sd, its, sampler, active, diff: bool, throughput):
     dist_sqr = squared_norm(wod)
     dist = safe_sqrt(dist_sqr)
     wod = wod * safe_div(1.0, dist)[..., None]
-    its1 = sd.ray_intersect(Ray(its.p, wod), active_direct, mode="path")
+    its1 = sd.ray_intersect(Ray(its.p, wod), active_direct, mode="path", diff=diff)
     active_direct = (
         active_direct
         & its1.valid
@@ -54,7 +54,7 @@ def bsdf_bounce(sd, its, sampler, active, diff: bool):
     """
     bs = sd.sample_bsdf(its, sampler.next_nd(3), active)
     ray = Ray(its.p, its.sh_frame.to_world(bs.wo))
-    its1 = sd.ray_intersect(ray, active, mode="path")
+    its1 = sd.ray_intersect(ray, active, mode="path", diff=diff)
     active = active & bs.is_valid & its1.valid
     t_det = jax.lax.stop_gradient(its1.t)
     if diff:
@@ -90,7 +90,7 @@ class PathTracer(SecondaryEdgeMixin, Integrator):
         self.hide_emitters = hide_emitters
 
     def Li(self, sd, sampler, ray, active, diff: bool):
-        its = sd.ray_intersect(ray, active, mode="solid" if diff else "path")
+        its = sd.ray_intersect(ray, active, mode="solid" if diff else "path", diff=diff)
         active = active & its.valid
 
         throughput = jnp.ones(its.t.shape + (3,), jnp.float32)

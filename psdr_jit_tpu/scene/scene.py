@@ -73,7 +73,7 @@ class SceneData:
     # ------------------------------------------------------------------
     # Intersection (scene.cpp:612-806)
     # ------------------------------------------------------------------
-    def gather_tri_diff(self, idx):
+    def gather_tri_diff(self, idx, diff: bool = True):
         """Gather all *differentiable* per-face fields for hit indices.
 
         Packs (p0, e1, e2, n0, n1, n2, face_normal, face_area, uv0..2) into
@@ -81,7 +81,8 @@ class SceneData:
         code the gather is a one-hot matmul: its transpose is one MXU matmul
         into (F, 28) instead of ~9 separate scatter-adds — TPU scatters have
         a large fixed cost (~30 ms each on v5e), which otherwise dominates the
-        backward pass of every bounce.
+        backward pass of every bounce.  Primal-only renders (``diff=False``)
+        use the plain gather to skip the (N, F) one-hot HBM traffic.
         """
         tri = self.tri
         packed = jnp.concatenate(
@@ -92,7 +93,7 @@ class SceneData:
             ],
             axis=1,
         )  # (F, 28)
-        rows = gather_rows(packed, idx)
+        rows = gather_rows(packed, idx) if diff else packed[idx]
         return (
             rows[..., 0:3], rows[..., 3:6], rows[..., 6:9], rows[..., 9:12],
             rows[..., 12:15], rows[..., 15:18], rows[..., 18:21],
@@ -100,7 +101,7 @@ class SceneData:
         )
 
     def ray_intersect(self, ray: Ray, active=None, mode: str = "path",
-                      backend: str = "auto"):
+                      backend: str = "auto", diff: bool = True):
         """Closest hit + differentiable reconstruction.
 
         ``mode``:
@@ -119,7 +120,7 @@ class SceneData:
         idx = jnp.maximum(tri_id, 0)
 
         (p0, e1, e2, n0, n1, n2, face_normal, face_area,
-         uv_info) = self.gather_tri_diff(idx)
+         uv_info) = self.gather_tri_diff(idx, diff=diff)
         face_indices = tri.face_indices[idx]
         fn_mask = self.face_normal_mask[idx]
         mesh_id = self.face_mesh_id[idx]
