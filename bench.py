@@ -41,43 +41,29 @@ def main():
     base_v = mesh.vertex_positions_raw
     base_r = em.radiance
 
-    def loss_fn(dv, dr, seed, pix):
+    def loss_fn(dv, dr, seed):
         mesh.vertex_positions_raw = base_v + dv
         em.radiance = base_r + dr
-        img = integ.renderD(sc, 0, seed=seed, pix_id=pix)
+        img = integ.renderD(sc, 0, seed=seed)
         return jnp.sum(jnp.square(img))
 
-    # One jitted program per chunk: the outer jit keeps the traced scene
-    # compile + autodiff on-device (eager dispatch costs ~0.7 s/chunk of
-    # host latency otherwise).
+    # One fused program: the renderer chunks lanes in-jit with remat, so the
+    # full-frame gradient fits on chip; the outer jit keeps the traced scene
+    # compile + autodiff on-device (eager dispatch costs ~0.7 s of host
+    # latency per call otherwise).
     grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
     zeros_v = jnp.zeros_like(base_v)
     zeros_r = jnp.zeros_like(base_r)
 
-    # Reverse-AD residuals for the full 8.4M-sample frame exceed HBM; the
-    # renderer's pixel-batching contract (exact per-lane seeding, reference
-    # integrator.cpp:23-30) makes chunked gradient accumulation exact.
-    n_chunks = 16
-    all_pix = jnp.arange(WIDTH * HEIGHT, dtype=jnp.int32).reshape(n_chunks, -1)
-
-    def full_grad(seed):
-        gv = jnp.zeros_like(base_v)
-        gr = jnp.zeros_like(base_r)
-        for c in range(n_chunks):
-            g = grad_fn(zeros_v, zeros_r, jnp.uint32(seed), all_pix[c])
-            gv = gv + g[0]
-            gr = gr + g[1]
-        return gv, gr
-
     # warmup/compile
-    g = full_grad(0)
+    g = grad_fn(zeros_v, zeros_r, jnp.uint32(0))
     jax.block_until_ready(g)
 
-    n_iter = 3
+    n_iter = 5
     t0 = time.perf_counter()
     for i in range(n_iter):
-        g = full_grad(i + 1)
-    g = jax.tree_util.tree_map(lambda x: float(x.sum()), g)  # force
+        g = grad_fn(zeros_v, zeros_r, jnp.uint32(i + 1))
+        g = jax.tree_util.tree_map(lambda x: float(x.sum()), g)  # force
     dt = (time.perf_counter() - t0) / n_iter
 
     n_rays = WIDTH * HEIGHT * SPP * RAYS_PER_SAMPLE
