@@ -31,14 +31,19 @@ class FieldExtractionIntegrator(Integrator):
         active = active & (sd.bsdf_slot(its) >= 0)
 
         if self.object:
-            # per-object mask by mesh index list stored at configure time
-            obj_ids = getattr(sd, "_mesh_object_ids", None)
-            # object filtering resolved through mesh ids on the python scene;
-            # sd carries only integer mesh ids, so the caller encodes the
-            # object as an index: "obj:<k>"
+            # per-object filter by mesh string id (reference get_obj_mask,
+            # field.cpp:58-63); "obj:<k>" selects by mesh index directly
             if self.object.startswith("obj:"):
-                k = int(self.object[4:])
-                active = active & (its.mesh_id == k)
+                allowed = [int(self.object[4:])]
+            else:
+                allowed = [
+                    i for i, mid in enumerate(sd.mesh_ids)
+                    if mid == self.object
+                ]
+            obj_mask = jnp.zeros_like(active)
+            for k in allowed:
+                obj_mask = obj_mask | (its.mesh_id == k)
+            active = active & obj_mask
 
         f = self.field
         if f == "segmentation":

@@ -65,6 +65,9 @@ class SceneData:
     # scene AABB
     lower: Any               # (3,)
     upper: Any               # (3,)
+    # static per-mesh string ids (for FieldExtraction object filters,
+    # reference Mesh::get_obj_mask)
+    mesh_ids: Any = static_field(default=())
 
     @property
     def num_meshes(self) -> int:
@@ -635,6 +638,7 @@ class Scene:
             sec_edge_distrb=sec_edge_distrb,
             lower=lower,
             upper=upper,
+            mesh_ids=tuple(getattr(m, "id", "") for m in mesh_list),
         )
 
     def configure(self, active_sensors=None):
