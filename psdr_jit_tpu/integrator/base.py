@@ -116,11 +116,17 @@ class Integrator:
     def renderC(self, scene: Scene, sensor_id: int = 0, seed: int = 0,
                 pix_id=None, batch_pix=None):
         """Primal render (reference Integrator::renderC)."""
+        from ..utils.profiling import log_time
+
         seed, pix_id = self._norm_args(scene, seed, pix_id, batch_pix)
         sd = jax.lax.stop_gradient(scene.data)
         fn = self._get_jit("C", _opts_key(scene.opts), sensor_id,
                            pix_id is not None)
-        return fn(sd, jnp.uint32(seed), pix_id)
+        with log_time("Rendered", scene.opts.log_level > 0):
+            out = fn(sd, jnp.uint32(seed), pix_id)
+            if scene.opts.log_level > 0:
+                jax.block_until_ready(out)
+        return out
 
     def renderD(self, scene: Scene, sensor_id: int = 0, seed: int = 0,
                 pix_id=None, batch_pix=None):
@@ -130,11 +136,17 @@ class Integrator:
         Re-runs the traced scene compile so gradients flow from the image to
         every scene parameter currently set on the python scene objects.
         """
+        from ..utils.profiling import log_time
+
         seed, pix_id = self._norm_args(scene, seed, pix_id, batch_pix)
         sd = scene.configure_data(scene._active_sensors)
         fn = self._get_jit("D", _opts_key(scene.opts), sensor_id,
                            pix_id is not None)
-        return fn(sd, jnp.uint32(seed), pix_id)
+        with log_time("Rendered", scene.opts.log_level > 0):
+            out = fn(sd, jnp.uint32(seed), pix_id)
+            if scene.opts.log_level > 0:
+                jax.block_until_ready(out)
+        return out
 
     # -- machinery -------------------------------------------------------------
     def _get_jit(self, kind: str, opts_key, sensor_id: int, has_pix: bool):

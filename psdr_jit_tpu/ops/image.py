@@ -8,6 +8,7 @@ the interior term whose sample->pixel map is affine.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -22,5 +23,17 @@ def splat_add(values, idx, n_pix: int):
 
 
 def interior_average(values, n_active_pix: int, spp: int):
-    """(n_pix*spp, C) pixel-major samples -> (n_pix, C) mean."""
-    return values.reshape(n_active_pix, spp, values.shape[-1]).mean(axis=1)
+    """(n_pix*spp, C) pixel-major samples -> (n_pix, C) mean.
+
+    Written as a dot with a constant 1/spp vector: the equivalent
+    middle-axis ``mean`` lowers to a strided reduction that runs ~50x
+    below HBM bandwidth on TPU.
+    """
+    if spp == 1:
+        return values
+    v = values.reshape(n_active_pix, spp, values.shape[-1])
+    w = jnp.full((spp,), 1.0 / spp, values.dtype)
+    return jax.lax.dot_general(
+        w, v, (((0,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )

@@ -643,9 +643,14 @@ class Scene:
 
     def configure(self, active_sensors=None):
         """Eagerly (re)build and cache scene data (reference sc.configure())."""
-        self._active_sensors = active_sensors
-        self._tri_perm = self._compute_tri_perm()
-        self._data = self.configure_data(active_sensors)
+        from ..utils.profiling import log_time
+
+        with log_time("Configured", self.opts.log_level > 0):
+            self._active_sensors = active_sensors
+            self._tri_perm = self._compute_tri_perm()
+            self._data = self.configure_data(active_sensors)
+            if self.opts.log_level > 0:
+                jax.block_until_ready(jax.tree_util.tree_leaves(self._data))
         return self._data
 
     def _compute_tri_perm(self):

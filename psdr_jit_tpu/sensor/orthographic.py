@@ -78,7 +78,8 @@ class OrthographicCamera:
         edge_info = None
         if with_edges:
             edge_info = build_primary_edges(
-                camera_pos, world_to_sample, mesh_list, mesh_datas
+                camera_pos, world_to_sample, mesh_list, mesh_datas,
+                camera_dir=camera_dir,
             )
 
         return SensorData(

@@ -148,12 +148,17 @@ def sample_primary_edge(sensor: SensorData, sample1) -> PrimaryEdgeSample:
     )
 
 
-def build_primary_edges(camera_pos, world_to_sample, mesh_list, mesh_datas):
+def build_primary_edges(camera_pos, world_to_sample, mesh_list, mesh_datas,
+                        camera_dir=None):
     """Silhouette classification + screen projection for all meshes
     (perspective.cpp:48-151), masked instead of compacted.
 
     Returns PrimaryEdgeInfo over the concatenated edge lists of all
     edge-enabled meshes, with non-silhouette edges given zero length/mass.
+    ``camera_dir`` set => orthographic: classify against the parallel view
+    direction instead of the eye position (the reference reuses the
+    position form for ortho, orthographic.cpp:64-66, which misclassifies
+    silhouettes when the camera plane is near the scene).
     """
     import numpy as np
 
@@ -165,8 +170,13 @@ def build_primary_edges(camera_pos, world_to_sample, mesh_list, mesh_datas):
         tri = md.tri
         has_f1 = ei[:, 3] >= 0
         f1 = jnp.maximum(ei[:, 3], 0)
-        e0 = normalize(camera_pos - tri.p0[ei[:, 2]])
-        e1 = normalize(camera_pos - tri.p0[f1])
+        if camera_dir is not None:
+            e0 = jnp.broadcast_to(-normalize(camera_dir),
+                                  (ei.shape[0], 3))
+            e1 = e0
+        else:
+            e0 = normalize(camera_pos - tri.p0[ei[:, 2]])
+            e1 = normalize(camera_pos - tri.p0[f1])
         n0 = tri.face_normal[ei[:, 2]]
         n1 = tri.face_normal[f1]
 
