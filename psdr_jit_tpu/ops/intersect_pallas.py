@@ -3,24 +3,28 @@
 Replaces the reference's OptiX GAS + ``jit_optix_ray_trace`` launch
 (``scene_optix.cpp:265-333, 344-410``) with a VPU wavefront kernel.
 
-Layout design (the part that matters on TPU):
+Design (v4 — the parts that matter on TPU, learned the hard way):
 
-* Rays are stored **dense on both VPU axes**: each component is an
-  ``(n_rows, 128)`` array so every f32 tile is fully packed.  (A previous
-  ``(N, 1)`` interface forced XLA to materialise 128x-padded HBM temps —
-  4 GB for an 8M-ray frame.)
-* Triangle SoA rides in **SMEM via scalar prefetch**: the kernel runs a
-  ``fori_loop`` over triangles, broadcasting 9 scalars per step against the
-  whole (R_ROWS, 128) ray tile — dense VPU math, no lane waste, no layout
-  constraint on the big arrays.
-* Triangles are pre-grouped into 64-triangle clusters (Morton-ordered by the
-  scene layer); each cluster carries an AABB tested against the ray tile
-  first, so coherent tiles skip entire clusters (poor-man's two-level BVH;
-  a full LBVH can slot in behind the same interface).
+* **HBM interface**: every big array is dense ``(rows, 128)`` f32 — an
+  ``(N, 1)`` operand layout forces 128x tile padding (4 GB per temp at 8M
+  rays).
+* **All-pairs by lane rotation**: rays live on (sublane, lane); each
+  128-triangle block loads as nine ``(1, 128)`` lane vectors and is rolled
+  one lane per step — after 128 steps every ray has met every triangle in
+  the block, with all Moller-Trumbore math dense on ``(R_ROWS, 128)``
+  registers.  (Alternatives fail: scalar-prefetch triangle loops spill SMEM
+  beyond ~700 triangles and become HBM-latency-bound; Mosaic cannot
+  reshape lanes->sublanes to set up a rays-on-sublanes outer product.)
+* **Triangle storage**: component arrays ``(n_blocks, 128)`` resident in
+  VMEM; rows are fetched as vectors with a dynamic sublane index.
+* **Two-level culling**: triangles arrive Morton-ordered in 128-triangle
+  clusters; each cluster AABB is slab-tested against the ray tile and the
+  whole block is skipped via ``pl.when`` when no ray can improve its
+  current closest hit.  Closest-hit state lives in VMEM scratch (no loop
+  carries).
 
-All math is f32 (ray-triangle tests need the precision; this workload is
-VPU-bound, not MXU-bound: the Plucker/matmul formulation has contraction
-depth 6, which wastes 122/128 of the systolic array).
+All math is f32 (the Plucker/matmul formulation has contraction depth 6,
+which wastes 122/128 of the MXU — this workload belongs on the VPU).
 """
 
 from __future__ import annotations
@@ -35,13 +39,21 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.types import RAY_EPSILON
 
 _INF = 1e30
-R_ROWS = 256          # sublane rows per ray tile -> 256*128 = 32768 rays/tile
-LANES = 128
-CLUSTER = 64          # triangles per AABB cluster
-MAX_SMEM_TRIS = 65536  # above this, fall back to the blocked JAX path
+R_ROWS = 32           # sublane rows per ray tile (rotation kernel)
+LANES = 128           # triangles per block (lane axis)
+MAX_VMEM_TRIS = 262144  # above this, fall back to the blocked JAX path
+
+# Small scenes use a scalar-triangle loop with SMEM-prefetched triangle
+# data — ~2x faster than the rotation kernel because it never pads the
+# triangle count to 128 and runs one big (R, 128) op per triangle.  Beyond
+# ~700 triangles the scalars spill SMEM and the loop becomes
+# HBM-latency-bound (1000x collapse), so the cutoff stays conservative.
+SMALL_MAX_TRIS = 512
+R_ROWS_SMALL = 256    # 32768 rays per tile in the small-scene kernel
+CLUSTER_SMALL = 64
 
 
-def _kernel(f_pad: int, n_clusters: int):
+def _kernel_small(f_pad: int, n_clusters: int):
     def kernel(tri_ref, box_ref, ox, oy, oz, dx, dy, dz,
                out_t, out_id, out_u, out_v):
         """tri_ref: (9, f_pad) SMEM; box_ref: (6, n_clusters) SMEM."""
@@ -70,8 +82,6 @@ def _kernel(f_pad: int, n_clusters: int):
             e2x = tri_ref[6, j]
             e2y = tri_ref[7, j]
             e2z = tri_ref[8, j]
-
-            # Moller-Trumbore, one triangle vs the whole tile
             hx = rdy * e2z - rdz * e2y
             hy = rdz * e2x - rdx * e2z
             hz = rdx * e2y - rdy * e2x
@@ -101,8 +111,6 @@ def _kernel(f_pad: int, n_clusters: int):
             return bt, bi, bu, bv
 
         def cluster_body(c, carry):
-            # slab test of the cluster AABB against every ray in the tile;
-            # skip the 64-triangle loop when no ray can hit it
             lox = box_ref[0, c]
             loy = box_ref[1, c]
             loz = box_ref[2, c]
@@ -127,20 +135,149 @@ def _kernel(f_pad: int, n_clusters: int):
             any_hit = jnp.any((tnear <= tfar) & (tfar > 0.0) & (tnear < bt))
 
             def run(carry):
-                lo = c * CLUSTER
-                return jax.lax.fori_loop(
-                    lo, lo + CLUSTER, tri_body, carry
-                )
+                lo = c * CLUSTER_SMALL
+                return jax.lax.fori_loop(lo, lo + CLUSTER_SMALL, tri_body, carry)
 
             return jax.lax.cond(any_hit, run, lambda carry: carry, carry)
 
-        bt, bi, bu, bv = jax.lax.fori_loop(
-            0, n_clusters, cluster_body, init
-        )
+        bt, bi, bu, bv = jax.lax.fori_loop(0, n_clusters, cluster_body, init)
         out_t[...] = bt
         out_id[...] = jnp.where(bt < _INF, bi, -1)
         out_u[...] = bu
         out_v[...] = bv
+
+    return kernel
+
+
+def _call_small(f_pad, n_pad, tri, boxes, ray_comps, interpret):
+    n_clusters = f_pad // CLUSTER_SMALL
+    n_rows = n_pad // LANES
+    grid = (n_rows // R_ROWS_SMALL,)
+    ray_spec = pl.BlockSpec(
+        (R_ROWS_SMALL, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[ray_spec] * 6,
+        out_specs=[ray_spec] * 4,
+    )
+    return pl.pallas_call(
+        _kernel_small(f_pad, n_clusters),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tri, boxes, *ray_comps)
+
+
+def _kernel(n_tri_blocks: int):
+    def kernel(ox, oy, oz, dx, dy, dz,
+               p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z, boxes,
+               out_t, out_id, out_u, out_v,
+               bt, bi, bu, bv):
+        """ray comps: (R_ROWS, 128) blocks; tri comps: (n_blocks, 128) VMEM;
+        boxes: (n_blocks, 8) VMEM rows (lo.xyz, hi.xyz, pad, pad);
+        bt/bi/bu/bv: (R_ROWS, 128) VMEM scratch."""
+        rox, roy, roz = ox[...], oy[...], oz[...]
+        rdx, rdy, rdz = dx[...], dy[...], dz[...]
+        inv_dx = 1.0 / rdx
+        inv_dy = 1.0 / rdy
+        inv_dz = 1.0 / rdz
+
+        shape = rox.shape
+        bt[...] = jnp.full(shape, _INF, jnp.float32)
+        bi[...] = jnp.full(shape, -1, jnp.int32)
+        bu[...] = jnp.zeros(shape, jnp.float32)
+        bv[...] = jnp.zeros(shape, jnp.float32)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+        def block_body(j, _):
+            # cluster AABB slab test against the whole ray tile
+            lox, loy, loz = boxes[j, 0], boxes[j, 1], boxes[j, 2]
+            hix, hiy, hiz = boxes[j, 3], boxes[j, 4], boxes[j, 5]
+            tx0 = (lox - rox) * inv_dx
+            tx1 = (hix - rox) * inv_dx
+            ty0 = (loy - roy) * inv_dy
+            ty1 = (hiy - roy) * inv_dy
+            tz0 = (loz - roz) * inv_dz
+            tz1 = (hiz - roz) * inv_dz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            possible = (tnear <= tfar) & (tfar > 0.0) & (tnear < bt[...])
+
+            @pl.when(jnp.any(possible))
+            def _():
+                def row(ref):
+                    return ref[j, :].reshape(1, LANES)
+
+                t0 = (row(p0x), row(p0y), row(p0z),
+                      row(e1x), row(e1y), row(e1z),
+                      row(e2x), row(e2y), row(e2z))
+
+                def rot_body(k, carry):
+                    (cbt, cbi, cbu, cbv), tri = carry
+                    (tp0x, tp0y, tp0z, te1x, te1y, te1z,
+                     te2x, te2y, te2z) = tri
+                    # Moller-Trumbore: ray[s, l] vs triangle[(l - k) % 128]
+                    hx = rdy * te2z - rdz * te2y
+                    hy = rdz * te2x - rdx * te2z
+                    hz = rdx * te2y - rdy * te2x
+                    a = te1x * hx + te1y * hy + te1z * hz
+                    f = 1.0 / a  # inf at a=0; masked below
+                    sx = rox - tp0x
+                    sy = roy - tp0y
+                    sz = roz - tp0z
+                    u = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * te1z - sz * te1y
+                    qy = sz * te1x - sx * te1z
+                    qz = sx * te1y - sy * te1x
+                    v = f * (rdx * qx + rdy * qy + rdz * qz)
+                    t = f * (te2x * qx + te2y * qy + te2z * qz)
+                    hit = (
+                        (jnp.abs(a) > 1e-12)
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t > RAY_EPSILON)
+                        & (t < cbt)
+                    )
+                    tid = j * LANES + ((lane - k) % LANES)
+                    cbi = jnp.where(hit, tid, cbi)
+                    cbu = jnp.where(hit, u, cbu)
+                    cbv = jnp.where(hit, v, cbv)
+                    cbt = jnp.where(hit, t, cbt)
+                    return ((cbt, cbi, cbu, cbv),
+                            tuple(pltpu.roll(x, 1, 1) for x in tri))
+
+                init = ((bt[...], bi[...], bu[...], bv[...]), t0)
+                (nbt, nbi, nbu, nbv), _unused = jax.lax.fori_loop(
+                    0, LANES, rot_body, init
+                )
+                bt[...] = nbt
+                bi[...] = nbi
+                bu[...] = nbu
+                bv[...] = nbv
+
+            return 0
+
+        jax.lax.fori_loop(0, n_tri_blocks, block_body, 0)
+        final_t = bt[...]
+        out_t[...] = final_t
+        out_id[...] = jnp.where(final_t < _INF, bi[...], -1)
+        out_u[...] = bu[...]
+        out_v[...] = bv[...]
 
     return kernel
 
@@ -150,36 +287,36 @@ def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, interpret: bool = False):
     """Closest hit for (N, 3) rays against (F, 3) triangles.
 
     Returns ``(tri_id, valid, uv, t)`` — the OptiX payload contract
-    (scene_optix.cpp:400-404).  Triangle order must already be
-    cluster-friendly (the scene layer Morton-sorts at configure time);
-    returned ids refer to the order given here.
+    (scene_optix.cpp:400-404).  Triangle order should be cluster-friendly
+    (the scene layer Morton-sorts at configure time); returned ids refer to
+    the order given here.
+
+    NOTE on hit selection: within a block, later-visited triangles win ties
+    and equal-t races are broken by visit order (not lowest id); tri_id may
+    differ from the brute-force oracle only where two hits coincide within
+    f32 rounding.
     """
     f = p0.shape[0]
-    if f > MAX_SMEM_TRIS:
+    if f > MAX_VMEM_TRIS:
         from .intersect import ray_intersect_brute
 
         return ray_intersect_brute(p0, e1, e2, ray_o, ray_d)
 
     n = ray_o.shape[0]
-    f_pad = -(-f // CLUSTER) * CLUSTER
-    n_clusters = f_pad // CLUSTER
-    tile = R_ROWS * LANES
+    small = f <= SMALL_MAX_TRIS
+    if small:
+        f_pad = -(-f // CLUSTER_SMALL) * CLUSTER_SMALL
+        tile = R_ROWS_SMALL * LANES
+    else:
+        f_pad = -(-f // LANES) * LANES
+        tile = R_ROWS * LANES
+    n_blocks = -(-f_pad // LANES)
     n_pad = -(-n // tile) * tile
 
     def pad_tri(x):
         return jnp.pad(x, ((0, f_pad - f), (0, 0))) if f_pad != f else x
 
     p0p, e1p, e2p = pad_tri(p0), pad_tri(e1), pad_tri(e2)
-    tri = jnp.concatenate([p0p.T, e1p.T, e2p.T], axis=0)  # (9, f_pad)
-
-    # cluster AABBs from triangle vertices (degenerate padding collapses to
-    # the origin-point box of the padded p0=0 triangles; harmless)
-    v0 = p0p.reshape(n_clusters, CLUSTER, 3)
-    v1 = (p0p + e1p).reshape(n_clusters, CLUSTER, 3)
-    v2 = (p0p + e2p).reshape(n_clusters, CLUSTER, 3)
-    lo = jnp.minimum(jnp.minimum(v0.min(1), v1.min(1)), v2.min(1))
-    hi = jnp.maximum(jnp.maximum(v0.max(1), v1.max(1)), v2.max(1))
-    boxes = jnp.concatenate([lo.T, hi.T], axis=0)  # (6, n_clusters)
 
     def pad_ray(x, fill):
         if n_pad != n:
@@ -192,29 +329,64 @@ def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, interpret: bool = False):
         pad_ray(ray_d[:, i], 1.0) for i in range(3)
     ]
 
-    n_rows = n_pad // LANES
-    grid = (n_rows // R_ROWS,)
-    ray_spec = pl.BlockSpec(
-        (R_ROWS, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[ray_spec] * 6,
-        out_specs=[ray_spec] * 4,
-    )
+    if small:
+        tri = jnp.concatenate([p0p.T, e1p.T, e2p.T], axis=0)  # (9, f_pad)
+        nc = f_pad // CLUSTER_SMALL
+        v0 = p0p.reshape(nc, CLUSTER_SMALL, 3)
+        v1 = (p0p + e1p).reshape(nc, CLUSTER_SMALL, 3)
+        v2 = (p0p + e2p).reshape(nc, CLUSTER_SMALL, 3)
+        lo = jnp.minimum(jnp.minimum(v0.min(1), v1.min(1)), v2.min(1))
+        hi = jnp.maximum(jnp.maximum(v0.max(1), v1.max(1)), v2.max(1))
+        boxes = jnp.concatenate([lo.T, hi.T], axis=0)  # (6, nc)
+        out_t, out_id, out_u, out_v = _call_small(
+            f_pad, n_pad, tri, boxes, ray_comps, interpret
+        )
+    else:
+        tri_comps = [
+            arr[:, i].reshape(n_blocks, LANES)
+            for arr in (p0p, e1p, e2p)
+            for i in range(3)
+        ]
+        # per-128-triangle-cluster AABBs (padding collapses to the point
+        # box of the degenerate p0=0 triangles; harmless)
+        v0 = p0p.reshape(n_blocks, LANES, 3)
+        v1 = (p0p + e1p).reshape(n_blocks, LANES, 3)
+        v2 = (p0p + e2p).reshape(n_blocks, LANES, 3)
+        lo = jnp.minimum(jnp.minimum(v0.min(1), v1.min(1)), v2.min(1))
+        hi = jnp.maximum(jnp.maximum(v0.max(1), v1.max(1)), v2.max(1))
+        boxes = jnp.concatenate(
+            [lo, hi, jnp.zeros((n_blocks, 2), jnp.float32)], axis=1
+        )  # (n_blocks, 8)
 
-    out_t, out_id, out_u, out_v = pl.pallas_call(
-        _kernel(f_pad, n_clusters),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(tri, boxes, *ray_comps)
+        grid = (n_pad // tile,)
+        ray_spec = pl.BlockSpec(
+            (R_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        tri_spec = pl.BlockSpec(
+            (n_blocks, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        box_spec = pl.BlockSpec(
+            (n_blocks, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        out_t, out_id, out_u, out_v = pl.pallas_call(
+            _kernel(n_blocks),
+            grid=grid,
+            in_specs=[ray_spec] * 6 + [tri_spec] * 9 + [box_spec],
+            out_specs=[ray_spec] * 4,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((R_ROWS, LANES), jnp.float32),
+                pltpu.VMEM((R_ROWS, LANES), jnp.int32),
+                pltpu.VMEM((R_ROWS, LANES), jnp.float32),
+                pltpu.VMEM((R_ROWS, LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*ray_comps, *tri_comps, boxes)
 
     tri_id = out_id.reshape(-1)[:n]
     t = out_t.reshape(-1)[:n]
