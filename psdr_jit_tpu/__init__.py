@@ -25,12 +25,17 @@ import jax as _jax
 # and silently destroys geometry gradients.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from .core.types import RenderOption, Ray
+from .core.types import RenderOption, Ray, Frame, Intersection
 from .core.bitmap import Bitmap1f, Bitmap3f
 
-# Reference-compatible aliases (drjit naming).
+# Reference-compatible aliases (drjit C/D type-pair naming): the reference
+# exposes detached/attached variants of each record type; here both map to
+# the single traced pytree.
 Bitmap1fD = Bitmap1f
 Bitmap3fD = Bitmap3f
+RayC = RayD = Ray
+FrameC = FrameD = Frame
+IntersectionC = IntersectionD = Intersection
 
 from .core import transform
 from .core.sampler import Sampler
@@ -130,7 +135,9 @@ def optix_jit_test():
 __version__ = "0.1.0"
 
 __all__ = [
-    "RenderOption", "Ray", "Sampler", "DiscreteDistribution",
+    "RenderOption", "Ray", "RayC", "RayD", "Frame", "FrameC", "FrameD",
+    "Intersection", "IntersectionC", "IntersectionD",
+    "Sampler", "DiscreteDistribution",
     "Bitmap1f", "Bitmap3f", "Bitmap1fD", "Bitmap3fD", "transform",
     "Mesh", "Scene", "load_file", "load_string",
     "DiffuseBSDF", "MicrofacetBSDF", "MicrofacetBSDFPerVertex",

@@ -40,6 +40,15 @@ class DiscreteDistribution:
     def total(self):
         return self.cdf[-1]
 
+    # reference-compatible accessors (psdr.cpp:187-192)
+    @property
+    def sum(self):
+        return self.total
+
+    def pmf_normalized(self):
+        """Normalized probability masses (reference ``pmf()``)."""
+        return self.pmf / self.total
+
     def sample(self, u):
         """Return (idx, normalized pdf) for uniform samples ``u``."""
         scaled = u * self.total

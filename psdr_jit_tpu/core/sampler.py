@@ -55,10 +55,19 @@ class Sampler:
     PCG32 state advance.
     """
 
-    def __init__(self, seed, lane):
+    def __init__(self, seed=0, lane=None):
         self.seed = jnp.asarray(seed, jnp.uint32)
-        self.lane = jnp.asarray(lane, jnp.uint32)
+        self.lane = (jnp.zeros((1,), jnp.uint32) if lane is None
+                     else jnp.asarray(lane, jnp.uint32))
         self.cnt = 0
+
+    def seed_(self, seed_values):
+        """Reference-compatible re-seeding (Sampler::seed, psdr.cpp:183):
+        one independent stream per entry of ``seed_values``."""
+        seed_values = jnp.asarray(seed_values, jnp.uint32)
+        self.lane = seed_values
+        self.cnt = 0
+        return self
 
     def _draw(self, n_dims: int):
         outs = []
