@@ -85,4 +85,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The remote TPU runtime occasionally drops into FAILED_PRECONDITION
+    # after heavy kernel churn; a fresh attempt after a pause recovers it.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            sys.stderr.write(f"bench attempt {attempt} failed: {e}\n")
+            time.sleep(20)
