@@ -3,25 +3,23 @@
 Replaces the reference's OptiX GAS + ``jit_optix_ray_trace`` launch
 (``scene_optix.cpp:265-333, 344-410``) with a VPU wavefront kernel.
 
-Design (v4 — the parts that matter on TPU, learned the hard way):
+Design (the parts that matter on TPU, learned the hard way):
 
 * **HBM interface**: every big array is dense ``(rows, 128)`` f32 — an
   ``(N, 1)`` operand layout forces 128x tile padding (4 GB per temp at 8M
   rays).
-* **All-pairs by lane rotation**: rays live on (sublane, lane); each
-  128-triangle block loads as nine ``(1, 128)`` lane vectors and is rolled
-  one lane per step — after 128 steps every ray has met every triangle in
-  the block, with all Moller-Trumbore math dense on ``(R_ROWS, 128)``
-  registers.  (Alternatives fail: scalar-prefetch triangle loops spill SMEM
-  beyond ~700 triangles and become HBM-latency-bound; Mosaic cannot
-  reshape lanes->sublanes to set up a rays-on-sublanes outer product.)
-* **Triangle storage**: component arrays ``(n_blocks, 128)`` resident in
-  VMEM; rows are fetched as vectors with a dynamic sublane index.
-* **Two-level culling**: triangles arrive Morton-ordered in 128-triangle
-  clusters; each cluster AABB is slab-tested against the ray tile and the
-  whole block is skipped via ``pl.when`` when no ray can improve its
-  current closest hit.  Closest-hit state lives in VMEM scratch (no loop
-  carries).
+* **Scalar triangle loop over a big ray tile**: each triangle broadcasts
+  nine scalars against a (256, 128) = 32768-ray tile of dense VPU math.
+  Scenes up to 512 triangles stage all scalars in SMEM via scalar
+  prefetch; larger scenes stream 512-triangle super-blocks through SMEM
+  with a second grid dimension (scalar-prefetch arrays are whole-array
+  only and spill SMEM beyond ~700 triangles, which costs 1000x; dynamic
+  lane indexing of VMEM does not compile, so VMEM triangle tables are
+  out).  Closest-hit state persists across super-block steps in the
+  revisited output blocks.
+* **Two-level culling**: triangles arrive Morton-ordered in 64-triangle
+  clusters; each cluster AABB is slab-tested against the whole ray tile
+  and skipped when no ray can improve its current closest hit.
 
 All math is f32 (the Plucker/matmul formulation has contraction depth 6,
 which wastes 122/128 of the MXU — this workload belongs on the VPU).
@@ -39,9 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.types import RAY_EPSILON
 
 _INF = 1e30
-R_ROWS = 32           # sublane rows per ray tile (rotation kernel)
-LANES = 128           # triangles per block (lane axis)
-MAX_VMEM_TRIS = 262144  # above this, fall back to the blocked JAX path
+LANES = 128
+MAX_KERNEL_TRIS = 1 << 20  # above this, fall back to the blocked JAX path
 
 # Small scenes use a scalar-triangle loop with SMEM-prefetched triangle
 # data — ~2x faster than the rotation kernel because it never pads the
@@ -51,6 +48,7 @@ MAX_VMEM_TRIS = 262144  # above this, fall back to the blocked JAX path
 SMALL_MAX_TRIS = 512
 R_ROWS_SMALL = 256    # 32768 rays per tile in the small-scene kernel
 CLUSTER_SMALL = 64
+SUPER_TRIS = 512      # triangles per streamed SMEM super-block (large path)
 
 
 def _kernel_small(f_pad: int, n_clusters: int):
@@ -147,6 +145,316 @@ def _kernel_small(f_pad: int, n_clusters: int):
         out_v[...] = bv
 
     return kernel
+
+
+def _kernel_super(n_super: int):
+    """Streaming variant of the scalar-loop kernel for arbitrary scene
+    sizes: the grid's second dimension walks 512-triangle super-blocks whose
+    scalars are staged into SMEM per step (regular SMEM BlockSpec slices —
+    scalar-prefetch arrays are whole-array only and overflow SMEM beyond
+    ~700 triangles).  Closest-hit state lives in the revisited output
+    blocks, initialised at the first super-block step."""
+
+    def kernel(tri_ref, box_ref, ox, oy, oz, dx, dy, dz,
+               out_t, out_id, out_u, out_v):
+        """tri_ref: (1, 9, SUPER) SMEM; box_ref: (1, 6, SUPER//64) SMEM."""
+        j_super = pl.program_id(1)
+        rox, roy, roz = ox[...], oy[...], oz[...]
+        rdx, rdy, rdz = dx[...], dy[...], dz[...]
+        inv_dx = 1.0 / rdx
+        inv_dy = 1.0 / rdy
+        inv_dz = 1.0 / rdz
+        shape = rox.shape
+
+        @pl.when(j_super == 0)
+        def _():
+            out_t[...] = jnp.full(shape, _INF, jnp.float32)
+            out_id[...] = jnp.full(shape, -1, jnp.int32)
+            out_u[...] = jnp.zeros(shape, jnp.float32)
+            out_v[...] = jnp.zeros(shape, jnp.float32)
+
+        base = j_super * SUPER_TRIS
+
+        def tri_body(j, carry):
+            bt, bi, bu, bv = carry
+            p0x = tri_ref[0, 0, j]
+            p0y = tri_ref[0, 1, j]
+            p0z = tri_ref[0, 2, j]
+            e1x = tri_ref[0, 3, j]
+            e1y = tri_ref[0, 4, j]
+            e1z = tri_ref[0, 5, j]
+            e2x = tri_ref[0, 6, j]
+            e2y = tri_ref[0, 7, j]
+            e2z = tri_ref[0, 8, j]
+            hx = rdy * e2z - rdz * e2y
+            hy = rdz * e2x - rdx * e2z
+            hz = rdx * e2y - rdy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a  # inf at a=0; masked by the hit test below
+            sx = rox - p0x
+            sy = roy - p0y
+            sz = roz - p0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (rdx * qx + rdy * qy + rdz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            hit = (
+                (jnp.abs(a) > 1e-12)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > RAY_EPSILON)
+                & (t < bt)
+            )
+            bt = jnp.where(hit, t, bt)
+            bi = jnp.where(hit, base + j, bi)
+            bu = jnp.where(hit, u, bu)
+            bv = jnp.where(hit, v, bv)
+            return bt, bi, bu, bv
+
+        def cluster_body(c, carry):
+            lox = box_ref[0, 0, c]
+            loy = box_ref[0, 1, c]
+            loz = box_ref[0, 2, c]
+            hix = box_ref[0, 3, c]
+            hiy = box_ref[0, 4, c]
+            hiz = box_ref[0, 5, c]
+            bt = carry[0]
+            tx0 = (lox - rox) * inv_dx
+            tx1 = (hix - rox) * inv_dx
+            ty0 = (loy - roy) * inv_dy
+            ty1 = (hiy - roy) * inv_dy
+            tz0 = (loz - roz) * inv_dz
+            tz1 = (hiz - roz) * inv_dz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            any_hit = jnp.any((tnear <= tfar) & (tfar > 0.0) & (tnear < bt))
+
+            def run(carry):
+                lo = c * CLUSTER_SMALL
+                return jax.lax.fori_loop(lo, lo + CLUSTER_SMALL, tri_body, carry)
+
+            return jax.lax.cond(any_hit, run, lambda carry: carry, carry)
+
+        init = (out_t[...], out_id[...], out_u[...], out_v[...])
+        bt, bi, bu, bv = jax.lax.fori_loop(
+            0, SUPER_TRIS // CLUSTER_SMALL, cluster_body, init
+        )
+        out_t[...] = bt
+        out_id[...] = bi
+        out_u[...] = bu
+        out_v[...] = bv
+
+    return kernel
+
+
+def _call_super(f_pad, n_pad, tri_s, boxes_s, ray_comps, interpret):
+    """tri_s: (n_super, 9, SUPER); boxes_s: (n_super, 6, SUPER//64)."""
+    n_super = tri_s.shape[0]
+    n_rows = n_pad // LANES
+    grid = (n_rows // R_ROWS_SMALL, n_super)
+    ray_spec = pl.BlockSpec(
+        (R_ROWS_SMALL, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    tri_spec = pl.BlockSpec(
+        (1, 9, SUPER_TRIS), lambda i, j: (j, 0, 0), memory_space=pltpu.SMEM
+    )
+    box_spec = pl.BlockSpec(
+        (1, 6, SUPER_TRIS // CLUSTER_SMALL), lambda i, j: (j, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    out = pl.pallas_call(
+        _kernel_super(n_super),
+        grid=grid,
+        in_specs=[tri_spec, box_spec] + [ray_spec] * 6,
+        out_specs=[ray_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tri_s, boxes_s, *ray_comps)
+    out_t, out_id, out_u, out_v = out
+    out_id = jnp.where(out_t < _INF, out_id, -1)
+    return out_t, out_id, out_u, out_v
+
+
+def _call_small(f_pad, n_pad, tri, boxes, ray_comps, interpret):
+    n_clusters = f_pad // CLUSTER_SMALL
+    n_rows = n_pad // LANES
+    grid = (n_rows // R_ROWS_SMALL,)
+    ray_spec = pl.BlockSpec(
+        (R_ROWS_SMALL, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[ray_spec] * 6,
+        out_specs=[ray_spec] * 4,
+    )
+    return pl.pallas_call(
+        _kernel_small(f_pad, n_clusters),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tri, boxes, *ray_comps)
+
+
+def _kernel_super(n_super: int):
+    """Streaming variant of the scalar-loop kernel for arbitrary scene
+    sizes: the grid's second dimension walks 512-triangle super-blocks whose
+    scalars are staged into SMEM per step (regular SMEM BlockSpec slices —
+    scalar-prefetch arrays are whole-array only and overflow SMEM beyond
+    ~700 triangles).  Closest-hit state lives in the revisited output
+    blocks, initialised at the first super-block step."""
+
+    def kernel(tri_ref, box_ref, ox, oy, oz, dx, dy, dz,
+               out_t, out_id, out_u, out_v):
+        """tri_ref: (1, 9, SUPER) SMEM; box_ref: (1, 6, SUPER//64) SMEM."""
+        j_super = pl.program_id(1)
+        rox, roy, roz = ox[...], oy[...], oz[...]
+        rdx, rdy, rdz = dx[...], dy[...], dz[...]
+        inv_dx = 1.0 / rdx
+        inv_dy = 1.0 / rdy
+        inv_dz = 1.0 / rdz
+        shape = rox.shape
+
+        @pl.when(j_super == 0)
+        def _():
+            out_t[...] = jnp.full(shape, _INF, jnp.float32)
+            out_id[...] = jnp.full(shape, -1, jnp.int32)
+            out_u[...] = jnp.zeros(shape, jnp.float32)
+            out_v[...] = jnp.zeros(shape, jnp.float32)
+
+        base = j_super * SUPER_TRIS
+
+        def tri_body(j, carry):
+            bt, bi, bu, bv = carry
+            p0x = tri_ref[0, 0, j]
+            p0y = tri_ref[0, 1, j]
+            p0z = tri_ref[0, 2, j]
+            e1x = tri_ref[0, 3, j]
+            e1y = tri_ref[0, 4, j]
+            e1z = tri_ref[0, 5, j]
+            e2x = tri_ref[0, 6, j]
+            e2y = tri_ref[0, 7, j]
+            e2z = tri_ref[0, 8, j]
+            hx = rdy * e2z - rdz * e2y
+            hy = rdz * e2x - rdx * e2z
+            hz = rdx * e2y - rdy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a  # inf at a=0; masked by the hit test below
+            sx = rox - p0x
+            sy = roy - p0y
+            sz = roz - p0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (rdx * qx + rdy * qy + rdz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            hit = (
+                (jnp.abs(a) > 1e-12)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > RAY_EPSILON)
+                & (t < bt)
+            )
+            bt = jnp.where(hit, t, bt)
+            bi = jnp.where(hit, base + j, bi)
+            bu = jnp.where(hit, u, bu)
+            bv = jnp.where(hit, v, bv)
+            return bt, bi, bu, bv
+
+        def cluster_body(c, carry):
+            lox = box_ref[0, 0, c]
+            loy = box_ref[0, 1, c]
+            loz = box_ref[0, 2, c]
+            hix = box_ref[0, 3, c]
+            hiy = box_ref[0, 4, c]
+            hiz = box_ref[0, 5, c]
+            bt = carry[0]
+            tx0 = (lox - rox) * inv_dx
+            tx1 = (hix - rox) * inv_dx
+            ty0 = (loy - roy) * inv_dy
+            ty1 = (hiy - roy) * inv_dy
+            tz0 = (loz - roz) * inv_dz
+            tz1 = (hiz - roz) * inv_dz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            any_hit = jnp.any((tnear <= tfar) & (tfar > 0.0) & (tnear < bt))
+
+            def run(carry):
+                lo = c * CLUSTER_SMALL
+                return jax.lax.fori_loop(lo, lo + CLUSTER_SMALL, tri_body, carry)
+
+            return jax.lax.cond(any_hit, run, lambda carry: carry, carry)
+
+        init = (out_t[...], out_id[...], out_u[...], out_v[...])
+        bt, bi, bu, bv = jax.lax.fori_loop(
+            0, SUPER_TRIS // CLUSTER_SMALL, cluster_body, init
+        )
+        out_t[...] = bt
+        out_id[...] = bi
+        out_u[...] = bu
+        out_v[...] = bv
+
+    return kernel
+
+
+def _call_super(f_pad, n_pad, tri_s, boxes_s, ray_comps, interpret):
+    """tri_s: (n_super, 9, SUPER); boxes_s: (n_super, 6, SUPER//64)."""
+    n_super = tri_s.shape[0]
+    n_rows = n_pad // LANES
+    grid = (n_rows // R_ROWS_SMALL, n_super)
+    ray_spec = pl.BlockSpec(
+        (R_ROWS_SMALL, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    tri_spec = pl.BlockSpec(
+        (1, 9, SUPER_TRIS), lambda i, j: (j, 0, 0), memory_space=pltpu.SMEM
+    )
+    box_spec = pl.BlockSpec(
+        (1, 6, SUPER_TRIS // CLUSTER_SMALL), lambda i, j: (j, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    out = pl.pallas_call(
+        _kernel_super(n_super),
+        grid=grid,
+        in_specs=[tri_spec, box_spec] + [ray_spec] * 6,
+        out_specs=[ray_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tri_s, boxes_s, *ray_comps)
+    out_t, out_id, out_u, out_v = out
+    out_id = jnp.where(out_t < _INF, out_id, -1)
+    return out_t, out_id, out_u, out_v
 
 
 def _call_small(f_pad, n_pad, tri, boxes, ray_comps, interpret):
@@ -297,7 +605,7 @@ def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, interpret: bool = False):
     f32 rounding.
     """
     f = p0.shape[0]
-    if f > MAX_VMEM_TRIS:
+    if f > MAX_KERNEL_TRIS:
         from .intersect import ray_intersect_brute
 
         return ray_intersect_brute(p0, e1, e2, ray_o, ray_d)
@@ -306,11 +614,9 @@ def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, interpret: bool = False):
     small = f <= SMALL_MAX_TRIS
     if small:
         f_pad = -(-f // CLUSTER_SMALL) * CLUSTER_SMALL
-        tile = R_ROWS_SMALL * LANES
     else:
-        f_pad = -(-f // LANES) * LANES
-        tile = R_ROWS * LANES
-    n_blocks = -(-f_pad // LANES)
+        f_pad = -(-f // SUPER_TRIS) * SUPER_TRIS
+    tile = R_ROWS_SMALL * LANES
     n_pad = -(-n // tile) * tile
 
     def pad_tri(x):
@@ -342,51 +648,24 @@ def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, interpret: bool = False):
             f_pad, n_pad, tri, boxes, ray_comps, interpret
         )
     else:
-        tri_comps = [
-            arr[:, i].reshape(n_blocks, LANES)
-            for arr in (p0p, e1p, e2p)
-            for i in range(3)
-        ]
-        # per-128-triangle-cluster AABBs (padding collapses to the point
-        # box of the degenerate p0=0 triangles; harmless)
-        v0 = p0p.reshape(n_blocks, LANES, 3)
-        v1 = (p0p + e1p).reshape(n_blocks, LANES, 3)
-        v2 = (p0p + e2p).reshape(n_blocks, LANES, 3)
+        n_super = f_pad // SUPER_TRIS
+        packed = jnp.concatenate([p0p.T, e1p.T, e2p.T], axis=0)  # (9, f_pad)
+        tri_s = jnp.transpose(
+            packed.reshape(9, n_super, SUPER_TRIS), (1, 0, 2)
+        )  # (n_super, 9, SUPER)
+        nc_total = f_pad // CLUSTER_SMALL
+        v0 = p0p.reshape(nc_total, CLUSTER_SMALL, 3)
+        v1 = (p0p + e1p).reshape(nc_total, CLUSTER_SMALL, 3)
+        v2 = (p0p + e2p).reshape(nc_total, CLUSTER_SMALL, 3)
         lo = jnp.minimum(jnp.minimum(v0.min(1), v1.min(1)), v2.min(1))
         hi = jnp.maximum(jnp.maximum(v0.max(1), v1.max(1)), v2.max(1))
-        boxes = jnp.concatenate(
-            [lo, hi, jnp.zeros((n_blocks, 2), jnp.float32)], axis=1
-        )  # (n_blocks, 8)
-
-        grid = (n_pad // tile,)
-        ray_spec = pl.BlockSpec(
-            (R_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        boxes = jnp.concatenate([lo.T, hi.T], axis=0)  # (6, nc_total)
+        boxes_s = jnp.transpose(
+            boxes.reshape(6, n_super, SUPER_TRIS // CLUSTER_SMALL), (1, 0, 2)
+        )  # (n_super, 6, clusters_per_super)
+        out_t, out_id, out_u, out_v = _call_super(
+            f_pad, n_pad, tri_s, boxes_s, ray_comps, interpret
         )
-        tri_spec = pl.BlockSpec(
-            (n_blocks, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
-        )
-        box_spec = pl.BlockSpec(
-            (n_blocks, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
-        )
-        out_t, out_id, out_u, out_v = pl.pallas_call(
-            _kernel(n_blocks),
-            grid=grid,
-            in_specs=[ray_spec] * 6 + [tri_spec] * 9 + [box_spec],
-            out_specs=[ray_spec] * 4,
-            out_shape=[
-                jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((R_ROWS, LANES), jnp.float32),
-                pltpu.VMEM((R_ROWS, LANES), jnp.int32),
-                pltpu.VMEM((R_ROWS, LANES), jnp.float32),
-                pltpu.VMEM((R_ROWS, LANES), jnp.float32),
-            ],
-            interpret=interpret,
-        )(*ray_comps, *tri_comps, boxes)
 
     tri_id = out_id.reshape(-1)[:n]
     t = out_t.reshape(-1)[:n]
