@@ -75,7 +75,9 @@ class EnvironmentMapData:
         """Radiance along world direction (envmap.cpp:57-73)."""
         v = xf.transform_dir(self.from_world, wi)
         u = jnp.arctan2(v[..., 0], -v[..., 2]) * INV_TWO_PI
-        w = jnp.arccos(jnp.clip(v[..., 1], -1.0, 1.0)) * INV_PI
+        # clamp inside the poles: d(arccos)/dv is infinite at |v|=1 and
+        # poisons orientation gradients with NaNs
+        w = jnp.arccos(jnp.clip(v[..., 1], -1.0 + 1e-6, 1.0 - 1e-6)) * INV_PI
         uv = jnp.stack([u, w], axis=-1)
         uv = uv - jnp.floor(uv)
         val = self.radiance.eval(uv, flip_v=False, envmap_mode=True) * self.scale
@@ -130,7 +132,7 @@ class EnvironmentMapData:
                         jnp.square(EPSILON))
         ) * (0.5 / PI ** 2)
         u = jnp.arctan2(d[..., 0], -d[..., 2]) * INV_TWO_PI
-        w = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) * INV_PI
+        w = jnp.arccos(jnp.clip(d[..., 1], -1.0 + 1e-6, 1.0 - 1e-6)) * INV_PI
         uv = jnp.stack([u, w], axis=-1)
         uv = uv - jnp.floor(uv)
         ok = active & (its.mesh_id == self.mesh_index)
