@@ -167,14 +167,23 @@ class Integrator:
                     seed, pix_id, kind: str):
         diff = kind == "D"
         result = self._render_interior(sd, opts, sensor_id, seed, pix_id, diff)
+
+        def add_edges(result, edge_img):
+            # edge estimators splat over the FULL pixel grid; a crop/shard
+            # render takes its subset rows (exact: the edge sample set is
+            # global and deterministic, so shards partition it consistently)
+            if pix_id is not None:
+                edge_img = edge_img[jnp.asarray(pix_id, jnp.int32)]
+            return result + edge_img
+
         if diff and opts.sppe > 0 and sd.sensors[sensor_id].edge_info is not None:
-            result = result + self._render_primary_edges(
-                sd, opts, sensor_id, seed
+            result = add_edges(
+                result, self._render_primary_edges(sd, opts, sensor_id, seed)
             )
         if diff and opts.sppse > 0 and sd.sec_edge is not None:
             se = self.render_secondary_edges(sd, opts, sensor_id, seed)
             if se is not None:
-                result = result + se
+                result = add_edges(result, se)
         return result
 
     # interior estimator (integrator.cpp:103-176)

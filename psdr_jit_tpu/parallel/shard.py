@@ -1,0 +1,77 @@
+"""Explicit shard_map training step for multi-chip/multi-host optimization.
+
+``parallel.mesh.render_sharded`` relies on jit auto-sharding (pixels sharded
+via input shardings).  This module is the explicit SPMD formulation for
+production training loops: each device renders its pixel shard and computes
+the local loss/gradients, and scene-parameter gradients are combined with
+``jax.lax.psum`` over the mesh axis — the collective rides ICI within a
+slice and DCN across hosts, exactly the layout SURVEY.md §2.5 calls for.
+Scene data is tiny and replicated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map  # jax >= 0.4.35
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_sharded_value_and_grad(loss_fn, mesh: Mesh, axis: str = "pix"):
+    """Build a pmapped-style value_and_grad over a pixel-sharded loss.
+
+    ``loss_fn(params, pix_ids, target_shard)`` must return the SUM of
+    per-pixel losses for its shard (sums are psum-combinable; means are
+    not).  Returns ``f(params, pix, target) -> (loss, grads)`` where ``pix``
+    and ``target`` are sharded over ``axis`` and ``params`` are replicated.
+    """
+
+    def local_step(params, pix, target):
+        loss = loss_fn(params, pix, target)
+        grads = jax.grad(loss_fn)(params, pix, target)
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+        return loss, grads
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def train_step_example(scene, integrator, mesh: Mesh, param_get, param_set,
+                       target, seed: int = 0, axis: str = "pix"):
+    """One sharded loss+grad evaluation against a target image.
+
+    ``param_get()`` -> pytree of parameters; ``param_set(params)`` writes
+    them back onto the scene objects (the mutate-then-trace convention).
+    """
+    opts = scene.opts
+    n_pix = opts.num_pixels
+    n_dev = mesh.devices.size
+    assert n_pix % n_dev == 0
+
+    def loss_fn(params, pix, target_shard):
+        param_set(params)
+        img = integrator.render_impl(
+            scene.configure_data(scene._active_sensors), opts, 0,
+            jnp.uint32(seed), pix, "D",
+        )
+        return jnp.sum(jnp.square(img - target_shard))
+
+    step = make_sharded_value_and_grad(loss_fn, mesh, axis)
+    pix = jax.device_put(
+        jnp.arange(n_pix, dtype=jnp.int32), NamedSharding(mesh, P(axis))
+    )
+    target = jax.device_put(
+        jnp.asarray(target), NamedSharding(mesh, P(axis, None))
+    )
+    return step(param_get(), pix, target)
