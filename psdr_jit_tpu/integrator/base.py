@@ -36,8 +36,10 @@ STREAM_SECONDARY = 2
 # frames are processed as an in-jit loop over lane chunks: XLA's fusions
 # degrade (spills) on multi-million-lane graphs, and reverse-mode residuals
 # for a full frame exceed HBM — `jax.checkpoint` around each chunk bounds
-# backward memory to one chunk's activations.
-CHUNK_LANES = 1 << 20
+# backward memory to one chunk's activations.  Swept on a v5e at cbox
+# 512x512 spp=32 depth=3 fwd+bwd: 128k lanes is the plateau (104 Mrays/s
+# vs 79 at 1M, 65 at 4M — smaller chunks keep working sets near VMEM).
+CHUNK_LANES = 1 << 17
 
 
 def _chunked_pixel_map(render_chunk, pix, spp: int, diff: bool):
@@ -56,20 +58,34 @@ def _chunked_pixel_map(render_chunk, pix, spp: int, diff: bool):
     return out.reshape(n_pad, -1)[:n_pix]
 
 
-def _chunked_splat_sum(chunk_img, n_samples: int, n_pix: int):
+def _chunked_splat_sum(chunk_img, n_samples: int, n_pix: int,
+                       lane_offset=None, lane_total: int = None):
     """Accumulate chunk images over lane chunks: sum_k chunk_img(lanes_k, mask).
 
     ``chunk_img(lane_chunk, active)`` -> (n_pix, 3) partial image.  Chunks are
     rematerialised in the backward pass (checkpoint), so edge-pass gradients
     never hold more than one chunk of residuals.
+
+    ``lane_offset``/``lane_total``: process the lane window
+    [offset, offset + n_samples) of a global lane space of size
+    ``lane_total`` (used to partition edge lanes across devices; the offset
+    may be traced, the count must be static).
     """
+    if lane_total is None:
+        lane_total = n_samples
+    off = jnp.uint32(0) if lane_offset is None else jnp.asarray(
+        lane_offset, jnp.uint32
+    )
     if n_samples <= CHUNK_LANES:
-        lanes = jnp.arange(n_samples, dtype=jnp.uint32)
-        return chunk_img(lanes, jnp.ones((n_samples,), bool))
+        lanes = off + jnp.arange(n_samples, dtype=jnp.uint32)
+        return chunk_img(lanes, lanes < jnp.uint32(lane_total))
     k = -(-n_samples // CHUNK_LANES)
     n_pad = k * CHUNK_LANES
-    lanes = jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, CHUNK_LANES)
-    mask = (lanes < jnp.uint32(n_samples))
+    lanes = off + jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, CHUNK_LANES)
+    mask = (lanes < jnp.uint32(lane_total)) & (
+        jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, CHUNK_LANES)
+        < jnp.uint32(n_samples)
+    )
     body = jax.checkpoint(chunk_img)
 
     def scan_body(carry, xs):
@@ -95,7 +111,9 @@ class Integrator:
     def Li(self, sd: SceneData, sampler: Sampler, ray: Ray, active, diff: bool):
         raise NotImplementedError
 
-    def render_secondary_edges(self, sd, opts, sensor_id, seed):
+    def render_secondary_edges(self, sd, opts, sensor_id, seed,
+                               lane_offset=None, lane_count=None,
+                               lane_total=None):
         """Return the derivative-only (n_pix, 3) boundary image, or None."""
         return None
 
@@ -224,10 +242,45 @@ class Integrator:
 
         return _chunked_pixel_map(render_chunk, pix, spp, diff)
 
+    def render_impl_sharded(self, sd: SceneData, opts: RenderOption,
+                            sensor_id: int, seed, pix_shard, axis: str):
+        """Per-device body for shard_map rendering: the interior term runs
+        on this device's pixel shard, edge-sample lanes are partitioned
+        across the mesh axis (each device does 1/n of the global edge
+        queues) and the full-frame edge image is psum'd so every shard can
+        take its pixel rows.  Exactly equal to the single-device render."""
+        idx = jax.lax.axis_index(axis)
+        n_dev = jax.lax.axis_size(axis)
+        result = self._render_interior(
+            sd, opts, sensor_id, seed, pix_shard, True
+        )
+        edge_img = jnp.zeros((opts.num_pixels, 3), jnp.float32)
+        if opts.sppe > 0 and sd.sensors[sensor_id].edge_info is not None:
+            total = opts.num_pixels * opts.sppe
+            per = -(-total // n_dev)
+            edge_img = edge_img + self._render_primary_edges(
+                sd, opts, sensor_id, seed,
+                lane_offset=idx * per, lane_count=per, lane_total=total,
+            )
+        if opts.sppse > 0 and sd.sec_edge is not None:
+            total = opts.num_pixels * opts.sppse
+            per = -(-total // n_dev)
+            se = self.render_secondary_edges(
+                sd, opts, sensor_id, seed,
+                lane_offset=idx * per, lane_count=per, lane_total=total,
+            )
+            if se is not None:
+                edge_img = edge_img + se
+        edge_img = jax.lax.psum(edge_img, axis)
+        return result + edge_img[jnp.asarray(pix_shard, jnp.int32)]
+
     # primary-edge boundary term (integrator.cpp:179-198)
-    def _render_primary_edges(self, sd, opts, sensor_id, seed):
+    def _render_primary_edges(self, sd, opts, sensor_id, seed,
+                              lane_offset=None, lane_count=None,
+                              lane_total=None):
         sensor = sd.sensors[sensor_id]
-        n_samples = opts.num_pixels * opts.sppe
+        n_samples = (opts.num_pixels * opts.sppe
+                     if lane_count is None else lane_count)
         sd_det = jax.lax.stop_gradient(sd)
         from ..core.math import safe_div
 
@@ -251,4 +304,6 @@ class Integrator:
             return splat_add(value, jnp.where(valid, es.idx, -1),
                              opts.num_pixels)
 
-        return _chunked_splat_sum(chunk_img, n_samples, opts.num_pixels)
+        return _chunked_splat_sum(chunk_img, n_samples, opts.num_pixels,
+                                  lane_offset=lane_offset,
+                                  lane_total=lane_total)

@@ -181,12 +181,15 @@ class SecondaryEdgeMixin:
             result = result / float(nrounds)
         self.warpper[sensor_id] = HyperCubeDistribution.init(grid, result)
 
-    def render_secondary_edges(self, sd: SceneData, opts, sensor_id, seed):
+    def render_secondary_edges(self, sd: SceneData, opts, sensor_id, seed,
+                               lane_offset=None, lane_count=None,
+                               lane_total=None):
         """path.cpp:274-294; returns the derivative-only (n_pix, 3) image."""
         from .base import STREAM_SECONDARY, _chunked_splat_sum
         from ..ops.image import splat_add
 
-        n_samples = opts.num_pixels * opts.sppse
+        n_samples = (opts.num_pixels * opts.sppse
+                     if lane_count is None else lane_count)
         warp = self.warpper.get(sensor_id)
 
         def chunk_img(lane, active):
@@ -208,4 +211,6 @@ class SecondaryEdgeMixin:
             idx = jnp.where(active, idx, -1)
             return splat_add(value, idx, opts.num_pixels)
 
-        return _chunked_splat_sum(chunk_img, n_samples, opts.num_pixels)
+        return _chunked_splat_sum(chunk_img, n_samples, opts.num_pixels,
+                                  lane_offset=lane_offset,
+                                  lane_total=lane_total)

@@ -61,10 +61,16 @@ def train_step_example(scene, integrator, mesh: Mesh, param_get, param_set,
 
     def loss_fn(params, pix, target_shard):
         param_set(params)
-        img = integrator.render_impl(
-            scene.configure_data(scene._active_sensors), opts, 0,
-            jnp.uint32(seed), pix, "D",
-        )
+        sd = scene.configure_data(scene._active_sensors)
+        if opts.sppe > 0 or opts.sppse > 0:
+            # edge-sample lanes partitioned across the axis + psum'd image
+            img = integrator.render_impl_sharded(
+                sd, opts, 0, jnp.uint32(seed), pix, axis
+            )
+        else:
+            img = integrator.render_impl(
+                sd, opts, 0, jnp.uint32(seed), pix, "D"
+            )
         return jnp.sum(jnp.square(img - target_shard))
 
     step = make_sharded_value_and_grad(loss_fn, mesh, axis)
