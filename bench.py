@@ -55,9 +55,10 @@ def main():
     zeros_v = jnp.zeros_like(base_v)
     zeros_r = jnp.zeros_like(base_r)
 
-    # warmup/compile
+    # warmup/compile (forced: the remote runtime defers execution until
+    # readback, so block_until_ready alone does not run the program)
     g = grad_fn(zeros_v, zeros_r, jnp.uint32(0))
-    jax.block_until_ready(g)
+    g = jax.tree_util.tree_map(lambda x: float(x.sum()), g)
 
     n_iter = 5
     t0 = time.perf_counter()
