@@ -26,7 +26,13 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "highest")
 
 from .core.types import RenderOption, Ray, Frame, Intersection
+from .core.object import Object
 from .core.bitmap import Bitmap1f, Bitmap3f
+from .core.records import (
+    SampleRecord,
+    PositionSample,
+    SensorDirectSample,
+)
 
 # Reference-compatible aliases (drjit C/D type-pair naming): the reference
 # exposes detached/attached variants of each record type; here both map to
@@ -35,13 +41,20 @@ Bitmap1fD = Bitmap1f
 Bitmap3fD = Bitmap3f
 RayC = RayD = Ray
 FrameC = FrameD = Frame
+# the reference's Interaction base (intersection.h:7-20) is subsumed by the
+# single Intersection pytree here
+Interaction = Intersection
+InteractionC = InteractionD = Intersection
 IntersectionC = IntersectionD = Intersection
+SampleRecordC = SampleRecordD = SampleRecord
+PositionSampleC = PositionSampleD = PositionSample
 
 from .core import transform
 from .core.sampler import Sampler
 from .core.distribution import DiscreteDistribution
 
 from .shape.mesh import Mesh
+from .bsdf.bsdf import BSDF
 from .bsdf import (
     DiffuseBSDF,
     MicrofacetBSDF,
@@ -50,10 +63,11 @@ from .bsdf import (
     RoughDielectricBSDF,
     NormalMapBSDF,
 )
-from .emitter import AreaLight, EnvironmentMap
-from .sensor import PerspectiveCamera, OrthographicCamera
+from .emitter import Emitter, AreaLight, EnvironmentMap
+from .sensor import Sensor, PerspectiveCamera, OrthographicCamera
 from .scene.scene import Scene
 from .scene.loader import load_file, load_string
+from .integrator.base import Integrator
 from .integrator import (
     PathTracer,
     Direct,
@@ -135,16 +149,22 @@ def optix_jit_test():
 __version__ = "0.1.0"
 
 __all__ = [
+    "Object",
     "RenderOption", "Ray", "RayC", "RayD", "Frame", "FrameC", "FrameD",
+    "Interaction", "InteractionC", "InteractionD",
     "Intersection", "IntersectionC", "IntersectionD",
+    "SampleRecord", "SampleRecordC", "SampleRecordD",
+    "PositionSample", "PositionSampleC", "PositionSampleD",
+    "SensorDirectSample",
     "Sampler", "DiscreteDistribution",
     "Bitmap1f", "Bitmap3f", "Bitmap1fD", "Bitmap3fD", "transform",
     "Mesh", "Scene", "load_file", "load_string",
-    "DiffuseBSDF", "MicrofacetBSDF", "MicrofacetBSDFPerVertex",
+    "BSDF", "DiffuseBSDF", "MicrofacetBSDF", "MicrofacetBSDFPerVertex",
     "RoughConductorBSDF", "RoughDielectricBSDF", "NormalMapBSDF",
-    "AreaLight", "EnvironmentMap",
-    "PerspectiveCamera", "OrthographicCamera",
-    "PathTracer", "Direct", "CollocatedIntegrator", "FieldExtractionIntegrator",
+    "Emitter", "AreaLight", "EnvironmentMap",
+    "Sensor", "PerspectiveCamera", "OrthographicCamera",
+    "Integrator", "PathTracer", "Direct", "CollocatedIntegrator",
+    "FieldExtractionIntegrator",
     "EdgeSortOption", "AQ_Option",
     "drjit_test", "drjit_memory", "optix_jit_test",
 ]

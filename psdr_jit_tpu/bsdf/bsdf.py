@@ -16,9 +16,10 @@ import jax.numpy as jnp
 import jax
 
 from ..core.records import BSDFSample
+from ..core.object import Object
 
 
-class BSDF:
+class BSDF(Object):
     """Interface; concrete BSDFs are mutable pytrees with these methods.
 
     ``its`` is any object providing ``wi`` (local frame), ``uv``, ``bc``,

@@ -11,16 +11,20 @@ from ..core.records import BSDFSample
 from ..core.math import normalize, mulsign, safe_div
 from .bsdf import BSDF
 from .ggx import GGXDistribution
+from ..ops.gather import gather_rows
 
 
 def _interpolate(its, values):
     """Barycentric interpolation of per-vertex values at the hit
     (microfacet_pv.cpp:145-163).  ``values``: (V, k); uses mesh-local
-    ``face_indices`` and ``bc``."""
-    fi = its.face_indices
-    v0 = values[fi[..., 0]]
-    v1 = values[fi[..., 1]]
-    v2 = values[fi[..., 2]]
+    ``face_indices`` and ``bc``.
+
+    Routed through :func:`gather_rows` so the backward pass of a per-vertex
+    optimization is a single one-hot matmul into the table per call instead
+    of three TPU scatters (~30 ms fixed cost each) per bounce.
+    """
+    rows = gather_rows(values, its.face_indices)  # (..., 3, k)
+    v0, v1, v2 = rows[..., 0, :], rows[..., 1, :], rows[..., 2, :]
     bc = its.bc
     return v0 + (v1 - v0) * bc[..., 0:1] + (v2 - v0) * bc[..., 1:2]
 
@@ -45,9 +49,13 @@ class MicrofacetBSDFPerVertex(BSDF):
 
     def eval(self, its, wo, active):
         wi, wo = self._orient(its.wi, wo)
-        spec = _interpolate(its, self.specularReflectance)
-        diff = _interpolate(its, self.diffuseReflectance)
-        roughness = _interpolate(its, self.roughness)[..., 0]
+        # one packed gather for all three per-vertex tables (spec|diff|rough)
+        packed = jnp.concatenate(
+            [self.specularReflectance, self.diffuseReflectance, self.roughness],
+            axis=-1,
+        )
+        interp = _interpolate(its, packed)
+        spec, diff, roughness = interp[..., 0:3], interp[..., 3:6], interp[..., 6]
 
         cos_nv, cos_nl = wi[..., 2], wo[..., 2]
         active = active & (cos_nv > 0.0) & (cos_nl > 0.0)

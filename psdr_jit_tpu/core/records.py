@@ -9,6 +9,16 @@ from .types import pytree, Ray
 
 
 @pytree
+class SampleRecord:
+    """Base record (records.h:39-44): every sample carries a pdf and a
+    validity mask.  Exposed for API parity with the reference's
+    ``SampleRecordC/D`` (psdr.cpp:252-258)."""
+
+    pdf: Any       # (...,)
+    is_valid: Any  # (...,) bool
+
+
+@pytree
 class PositionSample:
     """Emitter/mesh surface position sample (records.h:39-47)."""
 

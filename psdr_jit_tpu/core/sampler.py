@@ -56,12 +56,12 @@ class Sampler:
     """
 
     def __init__(self, seed=0, lane=None):
-        self.seed = jnp.asarray(seed, jnp.uint32)
+        self.seed_value = jnp.asarray(seed, jnp.uint32)
         self.lane = (jnp.zeros((1,), jnp.uint32) if lane is None
                      else jnp.asarray(lane, jnp.uint32))
         self.cnt = 0
 
-    def seed_(self, seed_values):
+    def seed(self, seed_values):
         """Reference-compatible re-seeding (Sampler::seed, psdr.cpp:183):
         one independent stream per entry of ``seed_values``."""
         seed_values = jnp.asarray(seed_values, jnp.uint32)
@@ -69,12 +69,15 @@ class Sampler:
         self.cnt = 0
         return self
 
+    # historical spelling from this package's first release
+    seed_ = seed
+
     def _draw(self, n_dims: int):
         outs = []
         salt = _U32(0x9E3779B9)
         while len(outs) < n_dims:
             cnt = jnp.full(self.lane.shape, self.cnt, _U32)
-            v = pcg4d(self.lane, cnt, jnp.broadcast_to(self.seed, self.lane.shape),
+            v = pcg4d(self.lane, cnt, jnp.broadcast_to(self.seed_value, self.lane.shape),
                       jnp.broadcast_to(salt, self.lane.shape))
             outs.extend(v[: min(4, n_dims - len(outs))])
             self.cnt += 1

@@ -11,10 +11,11 @@ from ..core.types import pytree, static_field, mutable_pytree
 from ..core.math import rgb2luminance, safe_div
 from ..core.records import PositionSample
 from ..shape.mesh import MeshData, sample_position
+from .emitter import Emitter
 
 
 @mutable_pytree(leaves=("radiance",))
-class AreaLight:
+class AreaLight(Emitter):
     """User-facing: constant-radiance emitter bound to a mesh."""
 
     def __init__(self, radiance=(1.0, 1.0, 1.0)):

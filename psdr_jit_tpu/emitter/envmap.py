@@ -23,10 +23,11 @@ from ..core.math import (
 )
 from ..core.types import Ray
 from ..core import transform as xf
+from .emitter import Emitter
 
 
 @mutable_pytree(leaves=("radiance", "scale", "to_world_raw", "to_world_left"))
-class EnvironmentMap:
+class EnvironmentMap(Emitter):
     """User-facing environment map."""
 
     def __init__(self, radiance=None, scale=1.0):

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import Ray, RenderOption
+from ..core.object import Object
 from ..core.sampler import Sampler
 from ..core.math import scrub_nonfinite
 from ..ops.image import splat_add, interior_average
@@ -101,7 +102,7 @@ def _opts_key(opts: RenderOption):
     return (opts.width, opts.height, opts.spp, opts.sppe, opts.sppse)
 
 
-class Integrator:
+class Integrator(Object):
     """Base class; subclasses implement Li (and optionally secondary edges)."""
 
     def __init__(self):
@@ -123,6 +124,11 @@ class Integrator:
         """Reference argument conventions (psdr.cpp:420-421): ``seed=-1``
         means use the scene seed; ``batch_pix`` is the crop-id array (or -1
         for full frame)."""
+        if seed is not None:
+            try:
+                seed = int(seed)  # numpy/jnp scalars too, so negatives don't
+            except TypeError:     # wrap silently through jnp.uint32
+                pass
         if seed is None or (isinstance(seed, int) and seed < 0):
             seed = scene.seed
         if pix_id is None and batch_pix is not None and not (
@@ -131,7 +137,7 @@ class Integrator:
             pix_id = batch_pix
         return seed, pix_id
 
-    def renderC(self, scene: Scene, sensor_id: int = 0, seed: int = 0,
+    def renderC(self, scene: Scene, sensor_id: int = 0, seed: int = -1,
                 pix_id=None, batch_pix=None):
         """Primal render (reference Integrator::renderC)."""
         from ..utils.profiling import log_time
@@ -146,7 +152,7 @@ class Integrator:
                 jax.block_until_ready(out)
         return out
 
-    def renderD(self, scene: Scene, sensor_id: int = 0, seed: int = 0,
+    def renderD(self, scene: Scene, sensor_id: int = 0, seed: int = -1,
                 pix_id=None, batch_pix=None):
         """Differentiable render: interior + boundary terms
         (reference Integrator::renderD).

@@ -1,8 +1,11 @@
 """ctypes bindings for the native host-ops library.
 
 Compiles ``hostops.cpp`` with the system toolchain on first use (cached next
-to the source).  Every entry point has a pure-numpy fallback so the package
-works without a compiler; ``available()`` reports which path is active.
+to the source).  The geometry entry points (Morton ordering, edge building,
+OBJ parsing) have pure-numpy fallbacks so the package works without a
+compiler; EXR read/write is native-only and raises without one (use the
+PFM/NPY codecs in ``utils.image`` as the portable alternative).
+``available()`` reports which path is active.
 """
 
 from __future__ import annotations

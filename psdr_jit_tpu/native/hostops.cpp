@@ -389,9 +389,18 @@ ExrImage* exr_load(const char* path) {
     fclose(f);
     return img;
   }
-  int w = dw[2] - dw[0] + 1;
-  int h = dw[3] - dw[1] + 1;
+  // Validate header-supplied sizes before trusting them: a corrupt file
+  // must produce an error string, not a crash or OOM.
+  long long wll = (long long)dw[2] - dw[0] + 1;
+  long long hll = (long long)dw[3] - dw[1] + 1;
   int nc = (int)img->channels.size();
+  if (wll <= 0 || hll <= 0 || wll > (1 << 20) || hll > (1 << 20) ||
+      nc <= 0 || nc > 64 || wll * hll * nc > (1ll << 31)) {
+    img->error = "implausible dataWindow/channel count";
+    fclose(f);
+    return img;
+  }
+  int w = (int)wll, h = (int)hll;
   img->width = w;
   img->height = h;
   img->data.assign((size_t)w * h * nc, 0.0f);
@@ -399,28 +408,57 @@ ExrImage* exr_load(const char* path) {
   int lines_per_block = (compression == 3) ? 16 : 1;
   int n_blocks = (h + lines_per_block - 1) / lines_per_block;
   std::vector<uint64_t> offsets(n_blocks);
-  read_bytes(f, offsets.data(), 8 * (size_t)n_blocks);
+  if (!read_bytes(f, offsets.data(), 8 * (size_t)n_blocks)) {
+    img->error = "truncated offset table";
+    fclose(f);
+    return img;
+  }
 
   size_t pix_bytes = 0;
   for (auto& c : img->channels) pix_bytes += (c.pixel_type == 1) ? 2 : 4;
+  size_t max_block = (size_t)w * pix_bytes * lines_per_block;
 
   std::vector<uint8_t> packed, raw;
   for (int b = 0; b < n_blocks; ++b) {
     fseek(f, (long)offsets[b], SEEK_SET);
     int32_t y0 = 0, psize = 0;
-    read_bytes(f, &y0, 4);
-    read_bytes(f, &psize, 4);
+    if (!read_bytes(f, &y0, 4) || !read_bytes(f, &psize, 4)) {
+      img->error = "truncated block header";
+      fclose(f);
+      return img;
+    }
     int y_start = y0 - dw[1];
+    if (y_start < 0 || y_start >= h) {
+      img->error = "block scanline out of range";
+      fclose(f);
+      return img;
+    }
     int block_lines = std::min(lines_per_block, h - y_start);
     size_t unpacked = (size_t)w * pix_bytes * block_lines;
+    // zlib can expand by ~0.1% + header; anything past that is corrupt
+    if (psize < 0 || (size_t)psize > max_block + max_block / 64 + 256) {
+      img->error = "implausible block size";
+      fclose(f);
+      return img;
+    }
     packed.resize(psize);
-    read_bytes(f, packed.data(), psize);
+    if (!read_bytes(f, packed.data(), psize)) {
+      img->error = "truncated block data";
+      fclose(f);
+      return img;
+    }
     if (compression == 0 || (size_t)psize >= unpacked) {
+      if ((size_t)psize < unpacked) {
+        img->error = "uncompressed block smaller than scanline";
+        fclose(f);
+        return img;
+      }
       raw.assign(packed.begin(), packed.begin() + unpacked);
     } else {
       raw.resize(unpacked);
       uLongf dlen = (uLongf)unpacked;
-      if (uncompress(raw.data(), &dlen, packed.data(), psize) != Z_OK) {
+      if (uncompress(raw.data(), &dlen, packed.data(), psize) != Z_OK ||
+          dlen != unpacked) {
         img->error = "zlib inflate failed";
         fclose(f);
         return img;

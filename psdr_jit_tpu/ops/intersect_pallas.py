@@ -315,281 +315,6 @@ def _call_small(f_pad, n_pad, tri, boxes, ray_comps, interpret):
     )(tri, boxes, *ray_comps)
 
 
-def _kernel_super(n_super: int):
-    """Streaming variant of the scalar-loop kernel for arbitrary scene
-    sizes: the grid's second dimension walks 512-triangle super-blocks whose
-    scalars are staged into SMEM per step (regular SMEM BlockSpec slices —
-    scalar-prefetch arrays are whole-array only and overflow SMEM beyond
-    ~700 triangles).  Closest-hit state lives in the revisited output
-    blocks, initialised at the first super-block step."""
-
-    def kernel(tri_ref, box_ref, ox, oy, oz, dx, dy, dz,
-               out_t, out_id, out_u, out_v):
-        """tri_ref: (1, 9, SUPER) SMEM; box_ref: (1, 6, SUPER//64) SMEM."""
-        j_super = pl.program_id(1)
-        rox, roy, roz = ox[...], oy[...], oz[...]
-        rdx, rdy, rdz = dx[...], dy[...], dz[...]
-        inv_dx = 1.0 / rdx
-        inv_dy = 1.0 / rdy
-        inv_dz = 1.0 / rdz
-        shape = rox.shape
-
-        @pl.when(j_super == 0)
-        def _():
-            out_t[...] = jnp.full(shape, _INF, jnp.float32)
-            out_id[...] = jnp.full(shape, -1, jnp.int32)
-            out_u[...] = jnp.zeros(shape, jnp.float32)
-            out_v[...] = jnp.zeros(shape, jnp.float32)
-
-        base = j_super * SUPER_TRIS
-
-        def tri_body(j, carry):
-            bt, bi, bu, bv = carry
-            p0x = tri_ref[0, 0, j]
-            p0y = tri_ref[0, 1, j]
-            p0z = tri_ref[0, 2, j]
-            e1x = tri_ref[0, 3, j]
-            e1y = tri_ref[0, 4, j]
-            e1z = tri_ref[0, 5, j]
-            e2x = tri_ref[0, 6, j]
-            e2y = tri_ref[0, 7, j]
-            e2z = tri_ref[0, 8, j]
-            hx = rdy * e2z - rdz * e2y
-            hy = rdz * e2x - rdx * e2z
-            hz = rdx * e2y - rdy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / a  # inf at a=0; masked by the hit test below
-            sx = rox - p0x
-            sy = roy - p0y
-            sz = roz - p0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (rdx * qx + rdy * qy + rdz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            hit = (
-                (jnp.abs(a) > 1e-12)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > RAY_EPSILON)
-                & (t < bt)
-            )
-            bt = jnp.where(hit, t, bt)
-            bi = jnp.where(hit, base + j, bi)
-            bu = jnp.where(hit, u, bu)
-            bv = jnp.where(hit, v, bv)
-            return bt, bi, bu, bv
-
-        def cluster_body(c, carry):
-            lox = box_ref[0, 0, c]
-            loy = box_ref[0, 1, c]
-            loz = box_ref[0, 2, c]
-            hix = box_ref[0, 3, c]
-            hiy = box_ref[0, 4, c]
-            hiz = box_ref[0, 5, c]
-            bt = carry[0]
-            tx0 = (lox - rox) * inv_dx
-            tx1 = (hix - rox) * inv_dx
-            ty0 = (loy - roy) * inv_dy
-            ty1 = (hiy - roy) * inv_dy
-            tz0 = (loz - roz) * inv_dz
-            tz1 = (hiz - roz) * inv_dz
-            tnear = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.minimum(tz0, tz1),
-            )
-            tfar = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.maximum(tz0, tz1),
-            )
-            any_hit = jnp.any((tnear <= tfar) & (tfar > 0.0) & (tnear < bt))
-
-            def run(carry):
-                lo = c * CLUSTER_SMALL
-                return jax.lax.fori_loop(lo, lo + CLUSTER_SMALL, tri_body, carry)
-
-            return jax.lax.cond(any_hit, run, lambda carry: carry, carry)
-
-        init = (out_t[...], out_id[...], out_u[...], out_v[...])
-        bt, bi, bu, bv = jax.lax.fori_loop(
-            0, SUPER_TRIS // CLUSTER_SMALL, cluster_body, init
-        )
-        out_t[...] = bt
-        out_id[...] = bi
-        out_u[...] = bu
-        out_v[...] = bv
-
-    return kernel
-
-
-def _call_super(f_pad, n_pad, tri_s, boxes_s, ray_comps, interpret):
-    """tri_s: (n_super, 9, SUPER); boxes_s: (n_super, 6, SUPER//64)."""
-    n_super = tri_s.shape[0]
-    n_rows = n_pad // LANES
-    grid = (n_rows // R_ROWS_SMALL, n_super)
-    ray_spec = pl.BlockSpec(
-        (R_ROWS_SMALL, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-    )
-    tri_spec = pl.BlockSpec(
-        (1, 9, SUPER_TRIS), lambda i, j: (j, 0, 0), memory_space=pltpu.SMEM
-    )
-    box_spec = pl.BlockSpec(
-        (1, 6, SUPER_TRIS // CLUSTER_SMALL), lambda i, j: (j, 0, 0),
-        memory_space=pltpu.SMEM,
-    )
-    out = pl.pallas_call(
-        _kernel_super(n_super),
-        grid=grid,
-        in_specs=[tri_spec, box_spec] + [ray_spec] * 6,
-        out_specs=[ray_spec] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(tri_s, boxes_s, *ray_comps)
-    out_t, out_id, out_u, out_v = out
-    out_id = jnp.where(out_t < _INF, out_id, -1)
-    return out_t, out_id, out_u, out_v
-
-
-def _call_small(f_pad, n_pad, tri, boxes, ray_comps, interpret):
-    n_clusters = f_pad // CLUSTER_SMALL
-    n_rows = n_pad // LANES
-    grid = (n_rows // R_ROWS_SMALL,)
-    ray_spec = pl.BlockSpec(
-        (R_ROWS_SMALL, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[ray_spec] * 6,
-        out_specs=[ray_spec] * 4,
-    )
-    return pl.pallas_call(
-        _kernel_small(f_pad, n_clusters),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(tri, boxes, *ray_comps)
-
-
-def _kernel(n_tri_blocks: int):
-    def kernel(ox, oy, oz, dx, dy, dz,
-               p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z, boxes,
-               out_t, out_id, out_u, out_v,
-               bt, bi, bu, bv):
-        """ray comps: (R_ROWS, 128) blocks; tri comps: (n_blocks, 128) VMEM;
-        boxes: (n_blocks, 8) VMEM rows (lo.xyz, hi.xyz, pad, pad);
-        bt/bi/bu/bv: (R_ROWS, 128) VMEM scratch."""
-        rox, roy, roz = ox[...], oy[...], oz[...]
-        rdx, rdy, rdz = dx[...], dy[...], dz[...]
-        inv_dx = 1.0 / rdx
-        inv_dy = 1.0 / rdy
-        inv_dz = 1.0 / rdz
-
-        shape = rox.shape
-        bt[...] = jnp.full(shape, _INF, jnp.float32)
-        bi[...] = jnp.full(shape, -1, jnp.int32)
-        bu[...] = jnp.zeros(shape, jnp.float32)
-        bv[...] = jnp.zeros(shape, jnp.float32)
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-
-        def block_body(j, _):
-            # cluster AABB slab test against the whole ray tile
-            lox, loy, loz = boxes[j, 0], boxes[j, 1], boxes[j, 2]
-            hix, hiy, hiz = boxes[j, 3], boxes[j, 4], boxes[j, 5]
-            tx0 = (lox - rox) * inv_dx
-            tx1 = (hix - rox) * inv_dx
-            ty0 = (loy - roy) * inv_dy
-            ty1 = (hiy - roy) * inv_dy
-            tz0 = (loz - roz) * inv_dz
-            tz1 = (hiz - roz) * inv_dz
-            tnear = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.minimum(tz0, tz1),
-            )
-            tfar = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.maximum(tz0, tz1),
-            )
-            possible = (tnear <= tfar) & (tfar > 0.0) & (tnear < bt[...])
-
-            @pl.when(jnp.any(possible))
-            def _():
-                def row(ref):
-                    return ref[j, :].reshape(1, LANES)
-
-                t0 = (row(p0x), row(p0y), row(p0z),
-                      row(e1x), row(e1y), row(e1z),
-                      row(e2x), row(e2y), row(e2z))
-
-                def rot_body(k, carry):
-                    (cbt, cbi, cbu, cbv), tri = carry
-                    (tp0x, tp0y, tp0z, te1x, te1y, te1z,
-                     te2x, te2y, te2z) = tri
-                    # Moller-Trumbore: ray[s, l] vs triangle[(l - k) % 128]
-                    hx = rdy * te2z - rdz * te2y
-                    hy = rdz * te2x - rdx * te2z
-                    hz = rdx * te2y - rdy * te2x
-                    a = te1x * hx + te1y * hy + te1z * hz
-                    f = 1.0 / a  # inf at a=0; masked below
-                    sx = rox - tp0x
-                    sy = roy - tp0y
-                    sz = roz - tp0z
-                    u = f * (sx * hx + sy * hy + sz * hz)
-                    qx = sy * te1z - sz * te1y
-                    qy = sz * te1x - sx * te1z
-                    qz = sx * te1y - sy * te1x
-                    v = f * (rdx * qx + rdy * qy + rdz * qz)
-                    t = f * (te2x * qx + te2y * qy + te2z * qz)
-                    hit = (
-                        (jnp.abs(a) > 1e-12)
-                        & (u >= 0.0)
-                        & (v >= 0.0)
-                        & (u + v <= 1.0)
-                        & (t > RAY_EPSILON)
-                        & (t < cbt)
-                    )
-                    tid = j * LANES + ((lane - k) % LANES)
-                    cbi = jnp.where(hit, tid, cbi)
-                    cbu = jnp.where(hit, u, cbu)
-                    cbv = jnp.where(hit, v, cbv)
-                    cbt = jnp.where(hit, t, cbt)
-                    return ((cbt, cbi, cbu, cbv),
-                            tuple(pltpu.roll(x, 1, 1) for x in tri))
-
-                init = ((bt[...], bi[...], bu[...], bv[...]), t0)
-                (nbt, nbi, nbu, nbv), _unused = jax.lax.fori_loop(
-                    0, LANES, rot_body, init
-                )
-                bt[...] = nbt
-                bi[...] = nbi
-                bu[...] = nbu
-                bv[...] = nbv
-
-            return 0
-
-        jax.lax.fori_loop(0, n_tri_blocks, block_body, 0)
-        final_t = bt[...]
-        out_t[...] = final_t
-        out_id[...] = jnp.where(final_t < _INF, bi[...], -1)
-        out_u[...] = bu[...]
-        out_v[...] = bv[...]
-
-    return kernel
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, interpret: bool = False):
     """Closest hit for (N, 3) rays against (F, 3) triangles.

@@ -16,9 +16,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:
-    from jax import shard_map  # jax >= 0.4.35
+    from jax import shard_map  # jax >= 0.4.35; takes check_vma=
+    _SHARD_MAP_KW = {"check_vma": False}
 except ImportError:  # pragma: no cover
+    # older experimental API spells the flag check_rep=
     from jax.experimental.shard_map import shard_map
+    _SHARD_MAP_KW = {"check_rep": False}
 
 
 def make_sharded_value_and_grad(loss_fn, mesh: Mesh, axis: str = "pix"):
@@ -31,8 +34,7 @@ def make_sharded_value_and_grad(loss_fn, mesh: Mesh, axis: str = "pix"):
     """
 
     def local_step(params, pix, target):
-        loss = loss_fn(params, pix, target)
-        grads = jax.grad(loss_fn)(params, pix, target)
+        loss, grads = jax.value_and_grad(loss_fn)(params, pix, target)
         loss = jax.lax.psum(loss, axis)
         grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
         return loss, grads
@@ -42,7 +44,7 @@ def make_sharded_value_and_grad(loss_fn, mesh: Mesh, axis: str = "pix"):
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(), P()),
-        check_vma=False,
+        **_SHARD_MAP_KW,
     )
     return jax.jit(sharded)
 

@@ -32,6 +32,7 @@ from ..core.math import (
 )
 from ..core.distribution import DiscreteDistribution
 from ..core.records import PositionSample, BoundarySegSample
+from ..core.object import Object
 from ..shape.mesh import Mesh, TriangleInfo, SecondaryEdgeInfo, MeshData
 from ..emitter.area import AreaLight, AreaLightData, area_light_weight
 from ..emitter.envmap import (
@@ -319,7 +320,7 @@ class SceneData:
         )
 
 
-class Scene:
+class Scene(Object):
     """Mutable scene container mirroring the reference Python API."""
 
     def __init__(self):

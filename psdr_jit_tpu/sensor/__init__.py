@@ -1,4 +1,4 @@
-from .sensor import SensorData, sample_primary_edge
+from .sensor import Sensor, SensorData, sample_primary_edge
 from .perspective import PerspectiveCamera
 from .orthographic import OrthographicCamera
 

@@ -7,14 +7,14 @@ import jax.numpy as jnp
 from ..core.types import mutable_pytree
 from ..core import transform as xf
 from ..core.math import norm, squared_norm
-from .sensor import SensorData, build_primary_edges
+from .sensor import Sensor, SensorData, build_primary_edges
 
 
 @mutable_pytree(
     leaves=("to_world_raw", "to_world_left", "to_world_right"),
     static=("near_clip", "far_clip"),
 )
-class OrthographicCamera:
+class OrthographicCamera(Sensor):
     def __init__(self, near=1e-6, far=1e7):
         self.near_clip = float(near)
         self.far_clip = float(far)

@@ -7,14 +7,14 @@ import jax.numpy as jnp
 from ..core.types import mutable_pytree
 from ..core import transform as xf
 from ..core.math import norm, squared_norm
-from .sensor import SensorData, build_primary_edges
+from .sensor import Sensor, SensorData, build_primary_edges
 
 
 @mutable_pytree(
     leaves=("to_world_raw", "to_world_left", "to_world_right"),
     static=("fov", "near_clip", "far_clip", "use_intrinsic", "fx", "fy", "cx", "cy"),
 )
-class PerspectiveCamera:
+class PerspectiveCamera(Sensor):
     """User-facing perspective camera; fov-x or intrinsics parameterisation."""
 
     def __init__(self, fov=60.0, near=1e-6, far=1e7, *intrinsic_rest):

@@ -20,7 +20,18 @@ from ..core.distribution import DiscreteDistribution
 from ..core.records import PrimaryEdgeSample, SensorDirectSample
 from ..core.math import normalize, norm, safe_div, safe_sqrt, squared_norm, dot
 from ..core import transform as xf
+from ..core.object import Object
 from ..ops.gather import gather_rows
+
+
+class Sensor(Object):
+    """User-facing camera base (reference sensor/sensor.h:21-65, exposed to
+    Python at psdr.cpp:357).  Concrete cameras (Perspective/Orthographic)
+    carry the differentiable ``to_world`` pose stack and resolution; their
+    configured traced state is a :class:`SensorData`."""
+
+    def set_transform(self, m):
+        raise NotImplementedError
 
 
 @pytree

@@ -25,6 +25,7 @@ from ..core import transform as xf
 from ..core.math import normalize, norm, cross, safe_div, bilinear
 from ..core.distribution import DiscreteDistribution
 from ..core.records import PositionSample
+from ..core.object import Object
 from ..core import warp
 from ..ops.gather import gather_rows
 from ..utils import obj as obj_io
@@ -161,7 +162,7 @@ def process_mesh(vertex_positions, face_indices):
     return tri, vertex_normals
 
 
-class Mesh:
+class Mesh(Object):
     """User-facing mesh container (mutable, host-side).
 
     Topology (faces, edges, uv indices) is static numpy; vertex positions and

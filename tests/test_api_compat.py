@@ -13,16 +13,46 @@ from scenes import make_cbox
 
 
 def test_module_surface():
+    """Full reference name list from the pybind registrations
+    (psdr.cpp:100-441 py::class_/def calls)."""
     for name in (
-        "Scene", "RenderOption", "Mesh", "DiffuseBSDF", "MicrofacetBSDF",
+        "Object", "Scene", "RenderOption", "Mesh",
+        "RayC", "RayD", "FrameC", "FrameD",
+        "InteractionC", "InteractionD", "IntersectionC", "IntersectionD",
+        "SampleRecordC", "SampleRecordD", "PositionSampleC", "PositionSampleD",
+        "SensorDirectSample",
+        "BSDF", "DiffuseBSDF", "MicrofacetBSDF",
         "MicrofacetBSDFPerVertex", "RoughConductorBSDF", "RoughDielectricBSDF",
-        "NormalMapBSDF", "AreaLight", "EnvironmentMap", "PerspectiveCamera",
-        "OrthographicCamera", "PathTracer", "Direct", "CollocatedIntegrator",
+        "NormalMapBSDF",
+        "Emitter", "AreaLight", "EnvironmentMap",
+        "Sensor", "PerspectiveCamera", "OrthographicCamera",
+        "Integrator", "PathTracer", "Direct", "CollocatedIntegrator",
         "FieldExtractionIntegrator", "Bitmap1fD", "Bitmap3fD", "Sampler",
         "DiscreteDistribution", "EdgeSortOption", "AQ_Option",
         "drjit_test", "drjit_memory", "optix_jit_test",
     ):
         assert hasattr(psdr, name), name
+    # class hierarchy matches the reference's py::class_ bases
+    for cls in (psdr.Mesh, psdr.BSDF, psdr.Emitter, psdr.Sensor,
+                psdr.Scene, psdr.Integrator):
+        assert issubclass(cls, psdr.Object), cls
+    assert issubclass(psdr.DiffuseBSDF, psdr.BSDF)
+    assert issubclass(psdr.AreaLight, psdr.Emitter)
+    assert issubclass(psdr.EnvironmentMap, psdr.Emitter)
+    assert issubclass(psdr.PerspectiveCamera, psdr.Sensor)
+    assert issubclass(psdr.OrthographicCamera, psdr.Sensor)
+    assert issubclass(psdr.PathTracer, psdr.Integrator)
+
+
+def test_sampler_seed_spelling():
+    """Sampler.seed(...) as the reference spells it (psdr.cpp:183); the
+    historical seed_ alias keeps working."""
+    s = psdr.Sampler()
+    s.seed(jnp.arange(8, dtype=jnp.uint32))
+    a = np.asarray(s.next_1d())
+    s2 = psdr.Sampler()
+    s2.seed_(jnp.arange(8, dtype=jnp.uint32))
+    np.testing.assert_array_equal(a, np.asarray(s2.next_1d()))
 
 
 def test_smoke_functions():

@@ -121,3 +121,41 @@ def test_field_object_filter():
         psdr.FieldExtractionIntegrator("silhouette").renderC(sc, 0)
     ).reshape(16, 16, 3)
     assert 0 < sil.mean() < 0.5 * sil_all.mean()
+
+
+def test_microfacet_pv_backward_has_no_scatter():
+    """The per-vertex interpolation routes through one-hot matmuls
+    (ops/gather.py), so the backward HLO of a per-vertex gradient contains
+    no scatter ops (each TPU scatter has ~30 ms fixed cost per bounce)."""
+    import jax.numpy as jnp
+    from psdr_jit_tpu.bsdf.microfacet_pv import MicrofacetBSDFPerVertex
+    from psdr_jit_tpu.core.types import Intersection, Frame
+
+    nv, n = 64, 256
+    rng = np.random.default_rng(0)
+    spec = jnp.full((nv, 3), 0.05, jnp.float32)
+    diff = jnp.asarray(rng.uniform(0.2, 0.8, (nv, 3)), jnp.float32)
+    rough = jnp.full((nv,), 0.4, jnp.float32)
+
+    fi = jnp.asarray(rng.integers(0, nv, (n, 3)), jnp.int32)
+    bc = jnp.asarray(rng.uniform(0.1, 0.4, (n, 2)), jnp.float32)
+    wi = jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 1))
+    wo_ = jnp.tile(
+        jnp.asarray([0.3, 0.0, 0.9539392], jnp.float32), (n, 1))
+
+    def loss(d):
+        b = MicrofacetBSDFPerVertex(spec, d, rough)
+        its = Intersection(
+            valid=jnp.ones((n,), bool), t=jnp.ones((n,)),
+            p=jnp.zeros((n, 3)), n=wi, sh_frame=Frame.from_normal(wi),
+            wi=wi, uv=bc, J=jnp.ones((n,)),
+            dp_du=jnp.zeros((n, 3)), dp_dv=jnp.zeros((n, 3)),
+            bc=bc, tri_id=jnp.zeros((n,), jnp.int32),
+            mesh_id=jnp.zeros((n,), jnp.int32), face_indices=fi,
+        )
+        return jnp.sum(b.eval(its, wo_, jnp.ones((n,), bool)))
+
+    hlo = jax.jit(jax.grad(loss)).lower(diff).as_text()
+    assert "scatter" not in hlo, "per-vertex backward fell back to scatter"
+    g = np.asarray(jax.grad(loss)(diff))
+    assert np.isfinite(g).all() and (np.abs(g) > 0).any()

@@ -268,5 +268,8 @@ def test_secondary_edge_guiding_reduces_variance():
     guided = run(True)
     # both unbiased
     assert abs(guided.mean() - expect) < 0.4 * abs(expect)
-    # guiding should not blow up the variance
-    assert guided.std() < 2.0 * unguided.std() + 1e-6
+    # guiding must REDUCE the estimator's variance (the whole point of the
+    # reference's secondary_edge_guiding tutorial; path.cpp:130-168)
+    assert guided.std() < unguided.std(), (
+        f"guided std {guided.std():.4g} >= unguided {unguided.std():.4g}"
+    )
