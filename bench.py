@@ -1,16 +1,24 @@
 """Benchmark: Mrays/s/chip forward+backward on the Cornell box.
 
-Workload (BASELINE.json): cbox 512x512, spp=32, PathTracer(3), one
-forward render + gradient w.r.t. scene parameters (vertex positions of a
-block + light radiance) — the fwd+bwd step of an inverse-rendering loop.
+Canonical workload (reference README.md:42-116 + BASELINE.json): cbox
+512x512, spp=32, sppe=32, sppse=32, PathTracer(3) — one forward render +
+gradient w.r.t. scene parameters (vertex positions of a block + light
+radiance), i.e. the fwd+bwd step of an inverse-rendering loop with ALL
+three estimators (interior + primary-edge + secondary-edge boundary terms).
 
-Ray count per interior sample at depth D: 1 camera ray + D * (1 shadow ray +
-1 bounce ray).  Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+Ray accounting per pixel:
+  interior:   spp   * (1 + 2*depth)          camera + depth*(shadow+bounce)
+  primary:    sppe  * 2 * (1 + 2*depth)      two detached Li per edge lane
+  secondary:  sppse * 3                      visibility + opposite + camera
 
-``vs_baseline`` is vs. the speed-of-light estimate for this chip (fraction of
-roofline): the reference publishes no numbers (BASELINE.md), so the roofline
-is the only defensible denominator.
+Prints ONE JSON line; headline value is the full-term throughput, the
+interior-only figure (round-1 headline) is carried alongside:
+    {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N,
+     "interior_only_mrays": N, "interior_vs_baseline": N}
+
+``vs_baseline`` is vs. the speed-of-light estimate for this chip (fraction
+of roofline): the reference publishes no numbers (BASELINE.md), so the
+roofline is the only defensible denominator.
 """
 
 import json
@@ -28,14 +36,13 @@ from scenes import make_cbox
 
 WIDTH = HEIGHT = 512
 SPP = 32
+SPPE = 32
+SPPSE = 32
 DEPTH = 3
-RAYS_PER_SAMPLE = 1 + 2 * DEPTH
+N_ITER = 5
 
 
-def main():
-    sc = make_cbox(width=WIDTH, height=HEIGHT, spp=SPP)
-    sc.configure()
-    integ = psdr.PathTracer(max_depth=DEPTH)
+def _time_grad(sc, integ, n_iter=N_ITER):
     mesh = sc.meshes[-1]
     em = sc.emitters[0]
     base_v = mesh.vertex_positions_raw
@@ -60,28 +67,49 @@ def main():
     g = grad_fn(zeros_v, zeros_r, jnp.uint32(0))
     g = jax.tree_util.tree_map(lambda x: float(x.sum()), g)
 
-    n_iter = 5
     t0 = time.perf_counter()
     for i in range(n_iter):
         g = grad_fn(zeros_v, zeros_r, jnp.uint32(i + 1))
         g = jax.tree_util.tree_map(lambda x: float(x.sum()), g)  # force
-    dt = (time.perf_counter() - t0) / n_iter
+    return (time.perf_counter() - t0) / n_iter
 
-    n_rays = WIDTH * HEIGHT * SPP * RAYS_PER_SAMPLE
-    mrays = n_rays / dt / 1e6
+
+def main():
+    n_pix = WIDTH * HEIGHT
+    rays_interior = n_pix * SPP * (1 + 2 * DEPTH)
+    rays_primary = n_pix * SPPE * 2 * (1 + 2 * DEPTH)
+    rays_secondary = n_pix * SPPSE * 3
 
     # Speed-of-light estimate: intersection is the dominant unavoidable cost.
     # The cluster-brute kernel does ~F_pad triangle tests per ray at ~48
     # VPU flops each; a v5e VPU sustains ~4e12 f32 flop/s.
     # (BASELINE.json "published" is empty — no reference numbers exist.)
+    sc = make_cbox(width=WIDTH, height=HEIGHT, spp=SPP)
+    sc.configure()
     f_pad = 64 * -(-sum(m.num_faces for m in sc.meshes) // 64)
     vpu_flops = 4.0e12
     sol_mrays = vpu_flops / (f_pad * 48.0) / 1e6
+
+    # interior-only (round-1 headline, kept for cross-round comparability)
+    integ = psdr.PathTracer(max_depth=DEPTH)
+    dt_int = _time_grad(sc, integ)
+    mrays_int = rays_interior / dt_int / 1e6
+
+    # full-term README workload
+    sc_full = make_cbox(width=WIDTH, height=HEIGHT, spp=SPP,
+                        sppe=SPPE, sppse=SPPSE)
+    sc_full.configure()
+    integ_full = psdr.PathTracer(max_depth=DEPTH)
+    dt_full = _time_grad(sc_full, integ_full)
+    mrays_full = (rays_interior + rays_primary + rays_secondary) / dt_full / 1e6
+
     print(json.dumps({
-        "metric": "cbox512_spp32_depth3_fwdbwd",
-        "value": round(mrays, 3),
+        "metric": "cbox512_spp32_sppe32_sppse32_depth3_fwdbwd",
+        "value": round(mrays_full, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / sol_mrays, 4),
+        "vs_baseline": round(mrays_full / sol_mrays, 4),
+        "interior_only_mrays": round(mrays_int, 3),
+        "interior_vs_baseline": round(mrays_int / sol_mrays, 4),
     }))
 
 

@@ -676,6 +676,58 @@ class Scene(Object):
             cents.append(v[f].mean(axis=1))
         return np.asarray(morton_order(np.concatenate(cents)), np.int32)
 
+    def _cluster_quality(self, perm, cluster: int = 64) -> float:
+        """Sum of cluster-AABB surface areas under the CURRENT concrete
+        transforms for a given triangle permutation — the quantity the
+        intersector's two-level culling actually depends on (smaller =
+        tighter clusters = more AABB skips)."""
+        cents = []
+        for m in self.meshes:
+            tw = np.asarray(
+                m.to_world_left @ m.to_world_raw @ m.to_world_right
+            )
+            v = np.asarray(m.vertex_positions_raw) @ tw[:3, :3].T + tw[:3, 3]
+            f = np.asarray(m.face_indices)
+            cents.append(v[f].mean(axis=1))
+        c = np.concatenate(cents)[np.asarray(perm)]
+        n_pad = -(-c.shape[0] // cluster) * cluster
+        if n_pad != c.shape[0]:
+            c = np.concatenate([c, np.tile(c[-1:], (n_pad - c.shape[0], 1))])
+        c = c.reshape(-1, cluster, 3)
+        ext = c.max(axis=1) - c.min(axis=1)
+        return float(
+            2.0 * (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+                   + ext[:, 0] * ext[:, 2]).sum()
+        )
+
+    def tri_perm_staleness(self) -> float:
+        """How much the configure-time Morton clustering has degraded under
+        the current transforms: quality(cached perm) / quality(fresh perm).
+        1.0 = still optimal; large values mean the intersector's cluster
+        culling is losing effectiveness as geometry moves."""
+        if getattr(self, "_tri_perm", None) is None:
+            return 1.0
+        fresh = self._compute_tri_perm()
+        q_fresh = self._cluster_quality(fresh)
+        if q_fresh <= 0.0:
+            return 1.0
+        return self._cluster_quality(self._tri_perm) / q_fresh
+
+    def refresh_tri_perm(self, threshold: float = 1.25) -> bool:
+        """Recompute the Morton triangle ordering if it has degraded past
+        ``threshold`` (see :meth:`tri_perm_staleness`).  Call periodically
+        from optimization loops that move geometry a lot without calling
+        ``configure()``; returns True when the permutation was replaced.
+        The permutation is a *static* value, so replacing it retriggers one
+        XLA compile of the render program."""
+        if getattr(self, "_tri_perm", None) is None:
+            return False
+        if self.tri_perm_staleness() <= threshold:
+            return False
+        self._tri_perm = self._compute_tri_perm()
+        self._data = None  # cached traced data baked the old ordering
+        return True
+
     @property
     def data(self) -> SceneData:
         if self._data is None:

@@ -140,3 +140,117 @@ def test_envmap_microfacet_render():
     _, d = jax.jvp(mean_img, (jnp.float32(0.0),), (jnp.float32(1.0),))
     sc.meshes[-1].to_world_raw = occ_base
     assert np.isfinite(float(d))
+
+
+# ---------------------------------------------------------------------------
+# Secondary-edge oracle under envmap lighting (the AABB-projected boundary
+# path: scene.sample_boundary_segment_direct with an envmap emitter)
+# ---------------------------------------------------------------------------
+
+def _envmap_shadow_scene(w=32, sppse=64, rho=0.8, L=1.0):
+    """Diffuse receiver z=0 under a UNIFORM sky L; black occluder quad at
+    z=2 spanning x in [-1,1], y in [-3,3] (edges on); ortho camera views
+    x in [1.5,3.5], y in [-1,1] from z=10."""
+    sc = psdr.Scene()
+    sc.opts.width = w
+    sc.opts.height = w
+    sc.opts.spp = 4
+    sc.opts.sppe = 0
+    sc.opts.sppse = sppse
+    cam = psdr.OrthographicCamera(0.1, 100.0)
+    cam.to_world = np.asarray(
+        xf.look_at([2.5, 0.0, 10.0], [2.5, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        np.float32,
+    )
+    sc.add_Sensor(cam)
+    sc.add_BSDF(psdr.DiffuseBSDF([rho, rho, rho]), "rho")
+    sc.add_BSDF(psdr.DiffuseBSDF([0.0, 0.0, 0.0]), "black")
+
+    recv = psdr.Mesh()
+    recv.use_face_normals = True
+    recv.enable_edges = False
+    recv.load_raw(
+        np.asarray([[-12, -12, 0], [12, -12, 0], [12, 12, 0], [-12, 12, 0]],
+                   np.float32),
+        np.asarray([[0, 1, 2], [0, 2, 3]], np.int32),
+    )
+    sc.add_Mesh(recv, None, "rho")
+
+    occ = psdr.Mesh()
+    occ.use_face_normals = True
+    occ.enable_edges = True
+    occ.load_raw(
+        np.asarray([[-1, -3, 2], [1, -3, 2], [1, 3, 2], [-1, 3, 2]],
+                   np.float32),
+        np.asarray([[0, 1, 2], [0, 2, 3]], np.int32),
+    )
+    sc.add_Mesh(occ, None, "black")
+
+    env = psdr.EnvironmentMap(np.full((8, 16, 3), L, np.float32))
+    sc.add_EnvironmentMap(env)
+    return sc, occ
+
+
+def _envmap_shadow_oracle(rho=0.8, L=1.0):
+    """Quadrature-exact translation derivative of the mean image.
+
+    Uniform sky: receiver radiance = (rho/pi) * (pi*L - L*B(x, y)) with
+    B = projected solid angle of the occluder strip,
+    B(x,y) = int_{-1}^{1} int_{-3}^{3} 4 / ((x'-x)^2 + (y'-y)^2 + 4)^2.
+    Translating the occluder by tx shifts B in x, so
+    d(mean)/dtx = (rho/pi)(L/A) * int_y [B(3.5,y) - B(1.5,y)] dy,  A = 4.
+    """
+    xs = np.linspace(-1, 1, 241)
+    ys = np.linspace(-3, 3, 721)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+
+    def B(x, y):
+        integ = 4.0 / ((X - x) ** 2 + (Y - y) ** 2 + 4.0) ** 2
+        return np.trapezoid(np.trapezoid(integ, ys, axis=1), xs)
+
+    yv = np.linspace(-1, 1, 41)
+    diff = np.asarray([B(3.5, y) - B(1.5, y) for y in yv])
+    return (rho / np.pi) * (L / 4.0) * np.trapezoid(diff, yv)
+
+
+def test_envmap_secondary_edge_gradient_oracle():
+    """The envmap boundary estimator (AABB-projected p2) must reproduce the
+    quadrature-exact shadow-translation derivative — closes the gap where
+    this path was previously checked only for finiteness."""
+    rho, L = 0.8, 1.0
+    sc, occ = _envmap_shadow_scene(w=32, sppse=64, rho=rho, L=L)
+    sc.configure()
+    integ = psdr.PathTracer(1)
+    base = occ.to_world_raw
+
+    def mean_img(tx, seed):
+        occ.to_world_raw = base.at[0, 3].add(tx)
+        return jnp.mean(integ.renderD(sc, 0, seed=seed))
+
+    grads = []
+    for seed in range(6):
+        _, d = jax.jvp(
+            lambda t: mean_img(t, seed), (jnp.float32(0.0),), (jnp.float32(1.0),)
+        )
+        grads.append(float(d))
+    occ.to_world_raw = base
+    g = np.mean(grads)
+    expect = _envmap_shadow_oracle(rho, L)
+    assert expect < 0
+    np.testing.assert_allclose(g, expect, rtol=0.25)
+
+
+def test_envmap_secondary_edge_interior_alone_misses_gradient():
+    sc, occ = _envmap_shadow_scene(w=32, sppse=8)
+    sc.opts.sppse = 0
+    sc.configure()
+    integ = psdr.PathTracer(1)
+    base = occ.to_world_raw
+
+    def mean_img(tx):
+        occ.to_world_raw = base.at[0, 3].add(tx)
+        return jnp.mean(integ.renderD(sc, 0, seed=0))
+
+    _, d = jax.jvp(mean_img, (jnp.float32(0.0),), (jnp.float32(1.0),))
+    occ.to_world_raw = base
+    assert abs(float(d)) < 0.25 * abs(_envmap_shadow_oracle())

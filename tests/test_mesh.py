@@ -109,3 +109,41 @@ def test_vertex_gradient_flows_through_configure():
     vm = jnp.asarray(QUAD_V).at[1, 0].add(-eps)
     fd = (float(area(vp)) - float(area(vm))) / (2 * eps)
     np.testing.assert_allclose(float(g[1, 0]), fd, rtol=1e-3, atol=1e-5)
+
+
+def test_tri_perm_staleness_monitor():
+    """Two initially-overlapping meshes share Morton clusters; pulling one
+    far away makes those clusters span the gap — staleness detects it and
+    refresh_tri_perm rebuilds the ordering."""
+    import psdr_jit_tpu as psdr
+    from psdr_jit_tpu.core import transform as xf
+
+    rng = np.random.default_rng(0)
+    sc = psdr.Scene()
+    sc.opts.width = sc.opts.height = 8
+    sc.opts.spp = 1
+    sc.add_Sensor(psdr.PerspectiveCamera(40.0))
+    sc.add_BSDF(psdr.DiffuseBSDF([0.5] * 3), "d")
+    # two OVERLAPPING blobs, >256 faces total so the perm is built: Morton
+    # interleaves their triangles into shared clusters
+    for k in range(2):
+        m = psdr.Mesh()
+        m.enable_edges = False
+        v = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+        f = rng.integers(0, 200, (200, 3)).astype(np.int32)
+        m.load_raw(v, f)
+        sc.add_Mesh(m, None, "d")
+    sc.configure()
+    assert sc._tri_perm is not None
+    assert abs(sc.tri_perm_staleness() - 1.0) < 1e-6
+    assert not sc.refresh_tri_perm()
+
+    # drag mesh 1 far away: every mixed cluster now spans the gap
+    sc.meshes[1].to_world_raw = jnp.asarray(
+        np.asarray(xf.translate(jnp.asarray([100.0, 0.0, 0.0]))), jnp.float32
+    )
+    stale = sc.tri_perm_staleness()
+    assert stale > 1.25, stale
+    assert sc.refresh_tri_perm()
+    assert abs(sc.tri_perm_staleness() - 1.0) < 1e-6
+    assert sc._data is None  # cached scene data invalidated
