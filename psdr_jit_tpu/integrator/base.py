@@ -59,13 +59,17 @@ def _chunked_pixel_map(render_chunk, pix, spp: int, diff: bool):
     return out.reshape(n_pad, -1)[:n_pix]
 
 
-def _chunked_splat_sum(chunk_img, n_samples: int, n_pix: int,
+def _chunked_splat_sum(chunk_vals, n_samples: int, n_pix: int,
                        lane_offset=None, lane_total: int = None):
-    """Accumulate chunk images over lane chunks: sum_k chunk_img(lanes_k, mask).
+    """Splat edge-sample chunks into an (n_pix, 3) image.
 
-    ``chunk_img(lane_chunk, active)`` -> (n_pix, 3) partial image.  Chunks are
-    rematerialised in the backward pass (checkpoint), so edge-pass gradients
-    never hold more than one chunk of residuals.
+    ``chunk_vals(lane_chunk, active)`` -> ``(values (chunk, 3), idx (chunk,))``
+    with ``idx = -1`` for dropped lanes.  Chunks are rematerialised in the
+    backward pass (checkpoint) so edge-pass gradients never hold more than
+    one chunk of residuals; all chunks' values are collected and splatted
+    with ONE scatter-add at the end — TPU scatter-add has a ~30 ms fixed
+    cost per op regardless of size, so per-chunk splatting costs seconds at
+    full-frame lane counts.
 
     ``lane_offset``/``lane_total``: process the lane window
     [offset, offset + n_samples) of a global lane space of size
@@ -79,7 +83,8 @@ def _chunked_splat_sum(chunk_img, n_samples: int, n_pix: int,
     )
     if n_samples <= CHUNK_LANES:
         lanes = off + jnp.arange(n_samples, dtype=jnp.uint32)
-        return chunk_img(lanes, lanes < jnp.uint32(lane_total))
+        values, idx = chunk_vals(lanes, lanes < jnp.uint32(lane_total))
+        return splat_add(values, idx, n_pix)
     k = -(-n_samples // CHUNK_LANES)
     n_pad = k * CHUNK_LANES
     lanes = off + jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, CHUNK_LANES)
@@ -87,15 +92,13 @@ def _chunked_splat_sum(chunk_img, n_samples: int, n_pix: int,
         jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, CHUNK_LANES)
         < jnp.uint32(n_samples)
     )
-    body = jax.checkpoint(chunk_img)
+    body = jax.checkpoint(chunk_vals)
 
     def scan_body(carry, xs):
-        return carry + body(xs[0], xs[1]), None
+        return carry, body(xs[0], xs[1])
 
-    img, _ = jax.lax.scan(
-        scan_body, jnp.zeros((n_pix, 3), jnp.float32), (lanes, mask)
-    )
-    return img
+    _, (values, idx) = jax.lax.scan(scan_body, 0, (lanes, mask))
+    return splat_add(values.reshape(-1, 3), idx.reshape(-1), n_pix)
 
 
 def _opts_key(opts: RenderOption):
@@ -290,7 +293,7 @@ class Integrator(Object):
         sd_det = jax.lax.stop_gradient(sd)
         from ..core.math import safe_div
 
-        def chunk_img(lane, active):
+        def chunk_vals(lane, active):
             sampler = Sampler(seed + jnp.uint32(STREAM_PRIMARY), lane)
             es = sample_primary_edge(sensor, sampler.next_1d())
             valid = active & (es.idx >= 0)
@@ -307,9 +310,8 @@ class Integrator(Object):
                 value = value / float(opts.sppe)
             value = value - jax.lax.stop_gradient(value)  # derivative-only
             value = jnp.where(valid[..., None], value, 0.0)
-            return splat_add(value, jnp.where(valid, es.idx, -1),
-                             opts.num_pixels)
+            return value, jnp.where(valid, es.idx, -1)
 
-        return _chunked_splat_sum(chunk_img, n_samples, opts.num_pixels,
+        return _chunked_splat_sum(chunk_vals, n_samples, opts.num_pixels,
                                   lane_offset=lane_offset,
                                   lane_total=lane_total)

@@ -186,13 +186,12 @@ class SecondaryEdgeMixin:
                                lane_total=None):
         """path.cpp:274-294; returns the derivative-only (n_pix, 3) image."""
         from .base import STREAM_SECONDARY, _chunked_splat_sum
-        from ..ops.image import splat_add
 
         n_samples = (opts.num_pixels * opts.sppse
                      if lane_count is None else lane_count)
         warp = self.warpper.get(sensor_id)
 
-        def chunk_img(lane, active):
+        def chunk_vals(lane, active):
             sampler = Sampler(seed + jnp.uint32(STREAM_SECONDARY), lane)
             sample3 = sampler.next_nd(3)
             if warp is not None:
@@ -208,9 +207,8 @@ class SecondaryEdgeMixin:
             )
             if opts.sppse > 1:
                 value = value / float(opts.sppse)
-            idx = jnp.where(active, idx, -1)
-            return splat_add(value, idx, opts.num_pixels)
+            return value, jnp.where(active, idx, -1)
 
-        return _chunked_splat_sum(chunk_img, n_samples, opts.num_pixels,
+        return _chunked_splat_sum(chunk_vals, n_samples, opts.num_pixels,
                                   lane_offset=lane_offset,
                                   lane_total=lane_total)

@@ -1,0 +1,407 @@
+"""TPU-native acceleration structure: sorted-ray, block-culled intersection.
+
+The reference's OptiX GAS (scene_optix.cpp:265-333) gives each CUDA thread a
+divergent per-ray BVH traversal.  That shape is hostile to the TPU: lanes
+cannot dynamically index VMEM, so a per-lane node stack cannot exist.  The
+TPU-native equivalent keeps all hierarchy decisions at *tile* granularity,
+where they are scalar-uniform and free:
+
+1. **Ray coherence by sorting** (`sort_rays`): rays are ordered by
+   (direction octant, origin Morton, direction Morton) with two
+   ``lax.sort`` calls (sort + inverse permutation).  After sorting, a tile
+   of consecutive rays shares a tight origin box and a sign-consistent
+   direction interval — the precondition for useful tile-level culling of
+   incoherent workloads.
+2. **Tile-vs-block traversal in XLA** (`tile_block_visit`): triangles are
+   Morton-ordered into 512-triangle super-blocks with AABBs (the scene
+   layer already does this); a conservative interval-arithmetic slab test
+   marks which blocks each ray tile can possibly hit.  At
+   10^5-10^6 triangles this is a few hundred blocks x a few hundred tiles —
+   dense XLA math, no tree needed; the "traversal" is one fused op.
+3. **Data-dependent block streaming in Pallas** (`_call_indexed`): the
+   kernel's grid walks (tile, k) and the BlockSpec ``index_map`` reads the
+   per-tile fetch list from scalar-prefetch memory, so each tile DMAs only
+   the super-blocks it can hit, in order; closest-hit state lives in the
+   revisited output blocks exactly like the dense streaming kernel.
+   Padding entries repeat the previous block index (the pipeline skips the
+   re-fetch) and are masked with ``pl.when``.
+
+Same payload contract as everything else: ``(tri_id, valid, uv, t)``
+(scene_optix.cpp:400-404).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import RAY_EPSILON
+
+_INF = 1e30
+LANES = 128
+SUPER = 512          # triangles per streamed block (matches intersect_pallas)
+CLUSTER = 64         # cluster granularity inside a block
+TILE_ROWS = 64       # rays per tile = TILE_ROWS * LANES = 8192
+
+
+# ---------------------------------------------------------------------------
+# 1. Ray sorting
+# ---------------------------------------------------------------------------
+
+def _expand_bits10(v):
+    """Spread the low 10 bits of ``v`` so consecutive bits are 3 apart."""
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def _morton10(p, lo, inv_extent):
+    """30-bit Morton code of points ``p`` (N, 3) within [lo, lo+extent]."""
+    q = jnp.clip((p - lo) * inv_extent, 0.0, 1.0 - 1e-7)
+    cell = (q * 1024.0).astype(jnp.uint32)
+    return (
+        _expand_bits10(cell[:, 0])
+        | (_expand_bits10(cell[:, 1]) << 1)
+        | (_expand_bits10(cell[:, 2]) << 2)
+    )
+
+
+def sort_rays(ray_o, ray_d):
+    """Return (perm, inv_perm) ordering rays by
+    (direction octant, origin Morton, |direction| Morton)."""
+    n = ray_o.shape[0]
+    octant = (
+        (ray_d[:, 0] < 0).astype(jnp.uint32)
+        | ((ray_d[:, 1] < 0).astype(jnp.uint32) << 1)
+        | ((ray_d[:, 2] < 0).astype(jnp.uint32) << 2)
+    )
+    lo = jnp.min(ray_o, axis=0)
+    extent = jnp.maximum(jnp.max(ray_o, axis=0) - lo, 1e-6)
+    key_o = _morton10(ray_o, lo, 1.0 / extent)
+    key_d = _morton10(jnp.abs(ray_d), jnp.zeros(3), jnp.ones(3))
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, _, _, perm = jax.lax.sort(
+        (octant, key_o, key_d, iota), num_keys=3
+    )
+    # inverse permutation via one more sort (scatter has a ~30 ms fixed
+    # cost on TPU; sort does not)
+    _, inv_perm = jax.lax.sort((perm, iota), num_keys=1)
+    return perm, inv_perm
+
+
+# ---------------------------------------------------------------------------
+# 2. Conservative tile-vs-block culling (the "traversal", fully in XLA)
+# ---------------------------------------------------------------------------
+
+def tile_block_visit(ray_o, ray_d, block_lo, block_hi, tile_rays: int):
+    """(n_tiles, n_blocks) bool: can ANY ray of the tile hit the block AABB?
+
+    Sound over-approximation by interval arithmetic: per tile keep origin
+    box [o0, o1] and direction interval [d0, d1]; per axis the minimum
+    possible slab entry / maximum possible exit over those intervals is the
+    min/max over the 8 endpoint quotients (a direction interval containing
+    zero makes the axis unconstrained)."""
+    n = ray_o.shape[0]
+    n_tiles = n // tile_rays
+    o = ray_o[: n_tiles * tile_rays].reshape(n_tiles, tile_rays, 3)
+    d = ray_d[: n_tiles * tile_rays].reshape(n_tiles, tile_rays, 3)
+    o0, o1 = o.min(axis=1), o.max(axis=1)              # (T, 3)
+    d0, d1 = d.min(axis=1), d.max(axis=1)
+
+    def quot(num, den):
+        # IEEE inf on den==0 is fine except 0/0; scrub those to +-inf
+        q = num / den
+        return jnp.where(jnp.isnan(q), jnp.where(num >= 0, _INF, -_INF), q)
+
+    qs = []
+    for bound in (block_lo, block_hi):                 # (B, 3)
+        for ob in (o0, o1):                            # (T, 3)
+            num = bound[None, :, :] - ob[:, None, :]   # (T, B, 3)
+            for db in (d0, d1):                        # (T, 3)
+                qs.append(quot(num, db[:, None, :]))
+    qs = jnp.stack(qs)                                 # (8, T, B, 3)
+    enter = jnp.min(qs, axis=0)
+    exit_ = jnp.max(qs, axis=0)
+    # an axis whose direction interval spans zero yields no slab constraint
+    unconstrained = ((d0 <= 0.0) & (d1 >= 0.0))[:, None, :]
+    enter = jnp.where(unconstrained, -_INF, enter)
+    exit_ = jnp.where(unconstrained, _INF, exit_)
+    t_near = jnp.maximum(jnp.max(enter, axis=-1), 0.0)  # (T, B)
+    t_far = jnp.min(exit_, axis=-1)
+    visit = (t_near <= t_far) & (t_far > 0.0)
+
+    # Reachability refinement: even when an axis gives no slab constraint
+    # (direction interval spans 0), travel is bounded by |d| * t over the
+    # t window the OTHER axes allow.  Position interval at t in [tn, tf]:
+    # [o0 + min(t*d), o1 + max(t*d)] over the (t, d) rectangle — must
+    # overlap the block slab on every axis.  (Sound: true positions lie
+    # inside the interval hull.)
+    tf_c = jnp.minimum(t_far, _INF)[..., None]          # (T, B, 1)
+    tn_c = t_near[..., None]
+    td = jnp.stack([
+        tn_c * d0[:, None, :], tn_c * d1[:, None, :],
+        tf_c * d0[:, None, :], tf_c * d1[:, None, :],
+    ])
+    pos_lo = o0[:, None, :] + jnp.min(td, axis=0)
+    pos_hi = o1[:, None, :] + jnp.max(td, axis=0)
+    reach = (pos_hi >= block_lo[None, :, :]) & (pos_lo <= block_hi[None, :, :])
+    return visit & jnp.all(reach, axis=-1)
+
+
+def build_fetch_list(visit):
+    """(T, B) bool -> (fetch (T, B) int32, counts (T,) int32): visited block
+    indices first (ascending), padding repeats the last visited block so
+    the Pallas pipeline skips the redundant DMA."""
+    n_tiles, n_blocks = visit.shape
+    order = jnp.argsort(~visit, axis=1, stable=True).astype(jnp.int32)
+    counts = visit.sum(axis=1).astype(jnp.int32)
+    k = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
+    clamp = jnp.minimum(k, jnp.maximum(counts - 1, 0)[:, None])
+    fetch = jnp.take_along_axis(order, clamp, axis=1)
+    return fetch, counts
+
+
+# ---------------------------------------------------------------------------
+# 3. Indexed-streaming Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _kernel_indexed(n_blocks: int):
+    def kernel(fetch_ref, cnt_ref, tri_ref, box_ref,
+               ox, oy, oz, dx, dy, dz,
+               out_t, out_id, out_u, out_v):
+        """tri_ref: (1, 9, SUPER) SMEM block chosen by fetch_ref;
+        box_ref: (1, 6, SUPER//64) SMEM; rays: (TILE_ROWS, 128) VMEM."""
+        i = pl.program_id(0)
+        k = pl.program_id(1)
+
+        shape = (TILE_ROWS, LANES)
+
+        @pl.when(k == 0)
+        def _():
+            out_t[...] = jnp.full(shape, _INF, jnp.float32)
+            out_id[...] = jnp.full(shape, -1, jnp.int32)
+            out_u[...] = jnp.zeros(shape, jnp.float32)
+            out_v[...] = jnp.zeros(shape, jnp.float32)
+
+        @pl.when(k < cnt_ref[i])
+        def _():
+            rox, roy, roz = ox[...], oy[...], oz[...]
+            rdx, rdy, rdz = dx[...], dy[...], dz[...]
+            inv_dx = 1.0 / rdx
+            inv_dy = 1.0 / rdy
+            inv_dz = 1.0 / rdz
+            base = fetch_ref[i, k] * SUPER
+
+            def tri_body(j, carry):
+                bt, bi, bu, bv = carry
+                p0x = tri_ref[0, 0, j]
+                p0y = tri_ref[0, 1, j]
+                p0z = tri_ref[0, 2, j]
+                e1x = tri_ref[0, 3, j]
+                e1y = tri_ref[0, 4, j]
+                e1z = tri_ref[0, 5, j]
+                e2x = tri_ref[0, 6, j]
+                e2y = tri_ref[0, 7, j]
+                e2z = tri_ref[0, 8, j]
+                hx = rdy * e2z - rdz * e2y
+                hy = rdz * e2x - rdx * e2z
+                hz = rdx * e2y - rdy * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = 1.0 / a  # inf at a=0; masked by the hit test below
+                sx = rox - p0x
+                sy = roy - p0y
+                sz = roz - p0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (rdx * qx + rdy * qy + rdz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                hit = (
+                    (jnp.abs(a) > 1e-12)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > RAY_EPSILON)
+                    & (t < bt)
+                )
+                bt = jnp.where(hit, t, bt)
+                bi = jnp.where(hit, base + j, bi)
+                bu = jnp.where(hit, u, bu)
+                bv = jnp.where(hit, v, bv)
+                return bt, bi, bu, bv
+
+            def cluster_body(c, carry):
+                lox = box_ref[0, 0, c]
+                loy = box_ref[0, 1, c]
+                loz = box_ref[0, 2, c]
+                hix = box_ref[0, 3, c]
+                hiy = box_ref[0, 4, c]
+                hiz = box_ref[0, 5, c]
+                bt = carry[0]
+                tx0 = (lox - rox) * inv_dx
+                tx1 = (hix - rox) * inv_dx
+                ty0 = (loy - roy) * inv_dy
+                ty1 = (hiy - roy) * inv_dy
+                tz0 = (loz - roz) * inv_dz
+                tz1 = (hiz - roz) * inv_dz
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.minimum(tz0, tz1),
+                )
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.maximum(tz0, tz1),
+                )
+                any_hit = jnp.any((tnear <= tfar) & (tfar > 0.0) & (tnear < bt))
+
+                def run(carry):
+                    lo = c * CLUSTER
+                    return jax.lax.fori_loop(lo, lo + CLUSTER, tri_body, carry)
+
+                return jax.lax.cond(any_hit, run, lambda carry: carry, carry)
+
+            init = (out_t[...], out_id[...], out_u[...], out_v[...])
+            bt, bi, bu, bv = jax.lax.fori_loop(
+                0, SUPER // CLUSTER, cluster_body, init
+            )
+            out_t[...] = bt
+            out_id[...] = bi
+            out_u[...] = bu
+            out_v[...] = bv
+
+    return kernel
+
+
+def _call_indexed(tri_s, boxes_s, fetch, counts, ray_comps, interpret):
+    """tri_s: (n_blocks, 9, SUPER); boxes_s: (n_blocks, 6, SUPER//64);
+    fetch: (n_tiles, kmax); counts: (n_tiles,); rays: (n_rows, 128)."""
+    n_blocks = tri_s.shape[0]
+    n_tiles, kmax = fetch.shape
+    n_rows = ray_comps[0].shape[0]
+    assert n_rows == n_tiles * TILE_ROWS
+
+    ray_spec = pl.BlockSpec(
+        (TILE_ROWS, LANES), lambda i, k, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    tri_spec = pl.BlockSpec(
+        (1, 9, SUPER), lambda i, k, fetch_ref, cnt_ref: (fetch_ref[i, k], 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    box_spec = pl.BlockSpec(
+        (1, 6, SUPER // CLUSTER),
+        lambda i, k, fetch_ref, cnt_ref: (fetch_ref[i, k], 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, kmax),
+        in_specs=[tri_spec, box_spec] + [ray_spec] * 6,
+        out_specs=[ray_spec] * 4,
+    )
+    out = pl.pallas_call(
+        _kernel_indexed(n_blocks),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(fetch, counts, tri_s, boxes_s, *ray_comps)
+    out_t, out_id, out_u, out_v = out
+    out_id = jnp.where(out_t < _INF, out_id, -1)
+    return out_t, out_id, out_u, out_v
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("interpret", "sort"))
+def ray_intersect_bvh(p0, e1, e2, ray_o, ray_d,
+                      interpret: bool = False, sort: bool = True):
+    """Closest hit via sorted rays + tile-culled block streaming.
+
+    Triangles should arrive Morton-ordered (the scene layer does this at
+    configure); returned ids refer to the given order.  Equivalent results
+    to :func:`intersect_pallas.ray_intersect_pallas` — selected by the
+    dispatcher for large scenes where per-tile block culling wins.
+    """
+    f = p0.shape[0]
+    n = ray_o.shape[0]
+
+    f_pad = -(-f // SUPER) * SUPER
+    if f_pad != f:
+        pad = f_pad - f
+        p0 = jnp.concatenate([p0, jnp.zeros((pad, 3), p0.dtype)])
+        e1 = jnp.concatenate([e1, jnp.zeros((pad, 3), e1.dtype)])
+        e2 = jnp.concatenate([e2, jnp.zeros((pad, 3), e2.dtype)])
+    n_blocks = f_pad // SUPER
+
+    tile = TILE_ROWS * LANES
+    n_pad = -(-n // tile) * tile
+    if n_pad != n:
+        pad = n_pad - n
+        ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
+        ray_d = jnp.concatenate(
+            [ray_d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], ray_d.dtype),
+                             (pad, 1))]
+        )
+
+    if sort:
+        perm, inv_perm = sort_rays(ray_o, ray_d)
+        ray_o = jnp.take(ray_o, perm, axis=0)
+        ray_d = jnp.take(ray_d, perm, axis=0)
+
+    # block data layout (same packing as the dense streaming path)
+    packed = jnp.concatenate([p0.T, e1.T, e2.T], axis=0)        # (9, f_pad)
+    tri_s = jnp.transpose(packed.reshape(9, n_blocks, SUPER), (1, 0, 2))
+    nc_total = f_pad // CLUSTER
+    v0 = p0.reshape(nc_total, CLUSTER, 3)
+    v1 = (p0 + e1).reshape(nc_total, CLUSTER, 3)
+    v2 = (p0 + e2).reshape(nc_total, CLUSTER, 3)
+    lo = jnp.minimum(jnp.minimum(v0.min(1), v1.min(1)), v2.min(1))
+    hi = jnp.maximum(jnp.maximum(v0.max(1), v1.max(1)), v2.max(1))
+    boxes = jnp.concatenate([lo.T, hi.T], axis=0)               # (6, nc)
+    boxes_s = jnp.transpose(
+        boxes.reshape(6, n_blocks, SUPER // CLUSTER), (1, 0, 2)
+    )
+    # block AABBs = union of their cluster AABBs
+    block_lo = lo.reshape(n_blocks, SUPER // CLUSTER, 3).min(axis=1)
+    block_hi = hi.reshape(n_blocks, SUPER // CLUSTER, 3).max(axis=1)
+    # padding triangles are degenerate at the origin — exclude them from
+    # block AABBs is unnecessary (they never hit), but an all-degenerate
+    # padding block gets a point AABB and is culled for most tiles anyway.
+
+    visit = tile_block_visit(ray_o, ray_d, block_lo, block_hi, tile)
+    fetch, counts = build_fetch_list(visit)
+
+    ray_comps = [
+        ray_o[:, i].reshape(n_pad // LANES, LANES) for i in range(3)
+    ] + [ray_d[:, i].reshape(n_pad // LANES, LANES) for i in range(3)]
+
+    out_t, out_id, out_u, out_v = _call_indexed(
+        tri_s, boxes_s, fetch, counts, ray_comps, interpret
+    )
+
+    tri_id = out_id.reshape(-1)
+    t = out_t.reshape(-1)
+    u = out_u.reshape(-1)
+    v = out_v.reshape(-1)
+    if sort:
+        tri_id = jnp.take(tri_id, inv_perm)
+        t = jnp.take(t, inv_perm)
+        u = jnp.take(u, inv_perm)
+        v = jnp.take(v, inv_perm)
+    tri_id, t, u, v = tri_id[:n], t[:n], u[:n], v[:n]
+    valid = tri_id >= 0
+    uv = jnp.stack([u, v], axis=-1)
+    return tri_id, valid, uv, t

@@ -39,6 +39,8 @@ from ..core.types import RAY_EPSILON
 _INF = 1e30
 LANES = 128
 MAX_KERNEL_TRIS = 1 << 20  # above this, fall back to the blocked JAX path
+BVH_MIN_TRIS = 16384       # above this, the sorted-ray block-culled path
+                           # (ops/bvh.py) replaces dense block streaming
 
 # Small scenes use a scalar-triangle loop with SMEM-prefetched triangle
 # data — ~2x faster than the rotation kernel because it never pads the
@@ -334,6 +336,10 @@ def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, interpret: bool = False):
         from .intersect import ray_intersect_brute
 
         return ray_intersect_brute(p0, e1, e2, ray_o, ray_d)
+    if f > BVH_MIN_TRIS:
+        from .bvh import ray_intersect_bvh
+
+        return ray_intersect_bvh(p0, e1, e2, ray_o, ray_d, interpret=interpret)
 
     n = ray_o.shape[0]
     small = f <= SMALL_MAX_TRIS
