@@ -82,6 +82,11 @@ def _load():
             ctypes.c_char_p, c_f32p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.exr_save_ex.restype = ctypes.c_int32
+        lib.exr_save_ex.argtypes = [
+            ctypes.c_char_p, c_f32p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -204,14 +209,16 @@ def read_exr(path: str) -> np.ndarray:
     return data
 
 
-def write_exr(path: str, img: np.ndarray) -> None:
+def write_exr(path: str, img: np.ndarray, compression: str = "zip") -> None:
+    """Write a scanline EXR; ``compression`` is ``"zip"`` or ``"piz"``."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native hostops unavailable; cannot write EXR")
+    comp = {"zip": 3, "piz": 4}[compression]
     img = np.ascontiguousarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
     h, w, c = img.shape
-    rc = lib.exr_save(path.encode(), _f32p(img), w, h, c)
+    rc = lib.exr_save_ex(path.encode(), _f32p(img), w, h, c, comp)
     if rc != 0:
         raise ValueError(f"EXR write failed ({rc}) for {path!r}")

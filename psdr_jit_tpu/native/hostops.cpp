@@ -10,9 +10,9 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
 // Build: g++ -O3 -shared -fPIC hostops.cpp -o libhostops.so -lz
 //
-// EXR support: scanline images, compression NONE / ZIPS / ZIP, pixel types
-// HALF / FLOAT / UINT — the subset tinyexr handles for the reference's
-// assets.  Tiled/deep/multipart files are rejected.
+// EXR support: scanline images, compression NONE / ZIPS / ZIP / PIZ, pixel
+// types HALF / FLOAT / UINT — covers the reference's assets (its envmap
+// ballroom_1k.exr is PIZ).  Tiled/deep/multipart files are rejected.
 
 #include <algorithm>
 #include <cmath>
@@ -297,6 +297,616 @@ struct ExrChannel {
   int32_t pixel_type;  // 0 UINT, 1 HALF, 2 FLOAT
 };
 
+// ===========================================================================
+// PIZ codec (wavelet + Huffman), written from the OpenEXR format
+// specification.  Replaces the reference's vendored tinyexr PIZ path
+// (include/misc/tinyexr.h) — real-world envmap assets (e.g. the reference's
+// own ballroom_1k.exr) ship PIZ-compressed.
+// ===========================================================================
+
+static const int PIZ_BITMAP_BYTES = 8192;  // 65536 bits
+static const int HUF_ENCSIZE = 65537;      // 16-bit symbols + 1 rlc slot
+static const int HUF_MAXLEN = 58;          // code lengths fit in 6 bits < 59
+
+// -- bit streams (MSB-first, as the EXR Huffman format specifies) -----------
+
+struct BitOut {
+  std::vector<uint8_t> bytes;
+  uint64_t acc = 0;
+  int nbits = 0;
+  uint64_t total_bits = 0;
+  void put(int n, uint64_t v) {
+    acc = (acc << n) | (v & ((n == 64) ? ~0ull : ((1ull << n) - 1)));
+    nbits += n;
+    total_bits += n;
+    while (nbits >= 8) {
+      nbits -= 8;
+      bytes.push_back((uint8_t)(acc >> nbits));
+    }
+  }
+  void flush() {
+    if (nbits > 0) {
+      bytes.push_back((uint8_t)(acc << (8 - nbits)));
+      nbits = 0;
+    }
+  }
+};
+
+struct BitIn {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool overrun = false;
+  BitIn(const uint8_t* data, size_t len) : p(data), end(data + len) {}
+  uint64_t get(int n) {
+    while (nbits < n) {
+      if (p >= end) {
+        overrun = true;
+        return 0;
+      }
+      acc = (acc << 8) | *p++;
+      nbits += 8;
+    }
+    nbits -= n;
+    return (acc >> nbits) & ((n == 64) ? ~0ull : ((1ull << n) - 1));
+  }
+};
+
+// -- canonical Huffman codes from lengths (the EXR canonical rule) ----------
+
+static void huf_canonical_codes(const uint8_t* len, uint64_t* code) {
+  uint64_t n[HUF_MAXLEN + 1] = {0};
+  for (int i = 0; i < HUF_ENCSIZE; ++i) n[len[i]] += 1;
+  uint64_t c = 0;
+  for (int i = HUF_MAXLEN; i > 0; --i) {
+    uint64_t nc = (c + n[i]) >> 1;
+    n[i] = c;
+    c = nc;
+  }
+  for (int i = 0; i < HUF_ENCSIZE; ++i)
+    code[i] = (len[i] > 0) ? n[len[i]]++ : 0;
+}
+
+// -- packed code-length table (6-bit lengths with zero-run codes) -----------
+
+static const int SHORT_ZEROCODE_RUN = 59;
+static const int LONG_ZEROCODE_RUN = 63;
+static const int SHORTEST_LONG_RUN = 2 + LONG_ZEROCODE_RUN - SHORT_ZEROCODE_RUN;
+
+static void huf_pack_table(const uint8_t* len, int im, int iM, BitOut& out) {
+  for (int i = im; i <= iM;) {
+    int l = len[i];
+    if (l == 0) {
+      int z = 1;
+      while (i + z <= iM && len[i + z] == 0 && z < 255 + SHORTEST_LONG_RUN)
+        ++z;
+      if (z >= SHORTEST_LONG_RUN) {
+        out.put(6, LONG_ZEROCODE_RUN);
+        out.put(8, z - SHORTEST_LONG_RUN);
+        i += z;
+      } else if (z >= 2) {
+        out.put(6, SHORT_ZEROCODE_RUN + z - 2);
+        i += z;
+      } else {
+        out.put(6, 0);
+        ++i;
+      }
+    } else {
+      out.put(6, l);
+      ++i;
+    }
+  }
+}
+
+static bool huf_unpack_table(BitIn& in, int im, int iM, uint8_t* len) {
+  memset(len, 0, HUF_ENCSIZE);
+  for (int i = im; i <= iM;) {
+    int l = (int)in.get(6);
+    if (in.overrun) return false;
+    if (l == LONG_ZEROCODE_RUN) {
+      int z = (int)in.get(8) + SHORTEST_LONG_RUN;
+      if (i + z > iM + 1) return false;
+      i += z;
+    } else if (l >= SHORT_ZEROCODE_RUN) {
+      int z = l - SHORT_ZEROCODE_RUN + 2;
+      if (i + z > iM + 1) return false;
+      i += z;
+    } else {
+      len[i++] = (uint8_t)l;
+    }
+  }
+  return !in.overrun;
+}
+
+// -- Huffman code-length construction (heap Huffman, flattened to <= 58) ----
+
+static void huf_build_lengths(const uint64_t* freq, uint8_t* len) {
+  struct Node {
+    uint64_t w;
+    int idx;  // < HUF_ENCSIZE: leaf symbol; else internal node id
+  };
+  std::vector<uint64_t> f(freq, freq + HUF_ENCSIZE);
+  for (int attempt = 0;; ++attempt) {
+    memset(len, 0, HUF_ENCSIZE);
+    std::vector<int> syms;
+    for (int i = 0; i < HUF_ENCSIZE; ++i)
+      if (f[i]) syms.push_back(i);
+    if (syms.empty()) return;
+    if (syms.size() == 1) {
+      len[syms[0]] = 1;
+      return;
+    }
+    // heap of (weight, node); internal nodes get parents recorded
+    auto cmp = [](const Node& a, const Node& b) { return a.w > b.w; };
+    std::vector<Node> heap;
+    std::vector<int> parent(syms.size() * 2, -1);
+    std::vector<int> leaf_of(syms.size());
+    for (size_t k = 0; k < syms.size(); ++k) {
+      heap.push_back({f[syms[k]], (int)k});
+      leaf_of[k] = syms[k];
+    }
+    std::make_heap(heap.begin(), heap.end(), cmp);
+    int next_id = (int)syms.size();
+    while (heap.size() > 1) {
+      std::pop_heap(heap.begin(), heap.end(), cmp);
+      Node a = heap.back();
+      heap.pop_back();
+      std::pop_heap(heap.begin(), heap.end(), cmp);
+      Node b = heap.back();
+      heap.pop_back();
+      parent[a.idx] = next_id;
+      parent[b.idx] = next_id;
+      if ((size_t)next_id + 1 > parent.size()) parent.resize(next_id + 1, -1);
+      heap.push_back({a.w + b.w, next_id++});
+      std::push_heap(heap.begin(), heap.end(), cmp);
+    }
+    int maxlen = 0;
+    for (size_t k = 0; k < syms.size(); ++k) {
+      int d = 0;
+      for (int n = (int)k; parent[n] >= 0; n = parent[n]) ++d;
+      len[leaf_of[k]] = (uint8_t)d;
+      if (d > maxlen) maxlen = d;
+    }
+    if (maxlen <= HUF_MAXLEN) return;
+    // flatten the distribution and retry (rare pathological skew)
+    for (int i = 0; i < HUF_ENCSIZE; ++i)
+      if (f[i]) f[i] = (f[i] >> 1) + 1;
+  }
+}
+
+// -- Huffman encode/decode with the EXR run-length extension ----------------
+
+static void huf_send(BitOut& out, uint64_t scode, int slen, int run,
+                     uint64_t rcode, int rlen) {
+  // emits the symbol (run + 1) times, using the run-length code when shorter
+  if (slen + rlen + 8 < slen * (run + 1)) {
+    out.put(slen, scode);
+    out.put(rlen, rcode);
+    out.put(8, (uint64_t)run);
+  } else {
+    for (int i = 0; i <= run; ++i) out.put(slen, scode);
+  }
+}
+
+static void huf_encode_data(const uint16_t* raw, size_t n, const uint8_t* len,
+                            const uint64_t* code, int rlc, BitOut& out) {
+  if (n == 0) return;
+  int cs = raw[0];
+  int run = 0;
+  for (size_t i = 1; i < n; ++i) {
+    if ((int)raw[i] == cs && run < 255) {
+      ++run;
+    } else {
+      huf_send(out, code[cs], len[cs], run, code[rlc], len[rlc]);
+      cs = raw[i];
+      run = 0;
+    }
+  }
+  huf_send(out, code[cs], len[cs], run, code[rlc], len[rlc]);
+}
+
+static bool huf_decode_data(BitIn& in, uint64_t nbits, const uint8_t* len,
+                            int rlc, uint16_t* out, size_t n_out) {
+  // per-length first-code + symbol lists for canonical decode
+  uint64_t first[HUF_MAXLEN + 1];
+  {
+    uint64_t n[HUF_MAXLEN + 1] = {0};
+    for (int i = 0; i < HUF_ENCSIZE; ++i) n[len[i]] += 1;
+    uint64_t c = 0;
+    for (int i = HUF_MAXLEN; i > 0; --i) {
+      uint64_t nc = (c + n[i]) >> 1;
+      first[i] = c;
+      c = nc;
+    }
+  }
+  std::vector<std::vector<int>> syms(HUF_MAXLEN + 1);
+  for (int i = 0; i < HUF_ENCSIZE; ++i)
+    if (len[i] > 0) syms[len[i]].push_back(i);
+
+  size_t produced = 0;
+  uint64_t used_bits = 0;
+  int last = -1;
+  uint64_t c = 0;
+  int l = 0;
+  while (produced < n_out && used_bits < nbits) {
+    c = (c << 1) | in.get(1);
+    ++used_bits;
+    if (in.overrun) return false;
+    if (++l > HUF_MAXLEN) return false;
+    const std::vector<int>& sl = syms[l];
+    if (!sl.empty() && c >= first[l] && c - first[l] < sl.size()) {
+      int s = sl[c - first[l]];
+      c = 0;
+      l = 0;
+      if (s == rlc) {
+        if (last < 0 || used_bits + 8 > nbits) return false;
+        int cnt = (int)in.get(8);
+        used_bits += 8;
+        if (in.overrun || produced + cnt > n_out) return false;
+        for (int k = 0; k < cnt; ++k) out[produced++] = (uint16_t)last;
+      } else {
+        if (produced >= n_out) return false;
+        out[produced++] = (uint16_t)s;
+        last = s;
+      }
+    }
+  }
+  return produced == n_out && l == 0;
+}
+
+static void huf_compress(const uint16_t* raw, size_t n,
+                         std::vector<uint8_t>& out) {
+  uint64_t freq[HUF_ENCSIZE] = {0};
+  for (size_t i = 0; i < n; ++i) freq[raw[i]] += 1;
+  int iM = HUF_ENCSIZE - 1;
+  while (iM > 0 && !freq[iM]) --iM;
+  int rlc = (n > 0) ? iM + 1 : 1;  // run-length pseudo-symbol past the data
+  freq[rlc] = 1;
+  iM = rlc;
+  int im = 0;
+  while (!freq[im]) ++im;
+
+  uint8_t len[HUF_ENCSIZE];
+  uint64_t code[HUF_ENCSIZE];
+  huf_build_lengths(freq, len);
+  huf_canonical_codes(len, code);
+
+  BitOut table;
+  huf_pack_table(len, im, iM, table);
+  table.flush();
+  BitOut data;
+  huf_encode_data(raw, n, len, code, rlc, data);
+  uint64_t nbits = data.total_bits;
+  data.flush();
+
+  out.resize(20 + table.bytes.size() + data.bytes.size());
+  uint32_t hdr[5] = {(uint32_t)im, (uint32_t)iM,
+                     (uint32_t)table.bytes.size(), (uint32_t)nbits, 0};
+  memcpy(out.data(), hdr, 20);
+  memcpy(out.data() + 20, table.bytes.data(), table.bytes.size());
+  memcpy(out.data() + 20 + table.bytes.size(), data.bytes.data(),
+         data.bytes.size());
+}
+
+static bool huf_uncompress(const uint8_t* in, size_t in_len, uint16_t* out,
+                           size_t n_out) {
+  if (in_len < 20) return false;
+  uint32_t hdr[5];
+  memcpy(hdr, in, 20);
+  int im = (int)hdr[0], iM = (int)hdr[1];
+  uint64_t nbits = hdr[3];
+  if (im < 0 || iM >= HUF_ENCSIZE || im > iM) return false;
+  if (20 + (nbits + 7) / 8 > in_len + 8) return false;
+  BitIn tin(in + 20, in_len - 20);
+  static thread_local std::vector<uint8_t> len_store(HUF_ENCSIZE);
+  uint8_t* len = len_store.data();
+  if (!huf_unpack_table(tin, im, iM, len)) return false;
+  // data begins on the byte boundary after the packed table
+  size_t table_bytes = (size_t)(tin.p - (in + 20)) - tin.nbits / 8;
+  BitIn din(in + 20 + table_bytes, in_len - 20 - table_bytes);
+  return huf_decode_data(din, nbits, len, iM, out, n_out);
+}
+
+// -- 2D wavelet (the EXR wav2 transform) ------------------------------------
+
+static const int W16_NBITS = 16;
+static const int W16_A_OFFSET = 1 << (W16_NBITS - 1);
+static const int W16_MOD_MASK = (1 << W16_NBITS) - 1;
+
+static inline void wenc14(uint16_t a, uint16_t b, uint16_t& l, uint16_t& h) {
+  int16_t as = (int16_t)a, bs = (int16_t)b;
+  int16_t ms = (int16_t)((as + bs) >> 1);
+  int16_t ds = (int16_t)(as - bs);
+  l = (uint16_t)ms;
+  h = (uint16_t)ds;
+}
+
+static inline void wdec14(uint16_t l, uint16_t h, uint16_t& a, uint16_t& b) {
+  int16_t ls = (int16_t)l, hs = (int16_t)h;
+  int hi = hs;
+  int ai = ls + (hi & 1) + (hi >> 1);
+  int16_t as = (int16_t)ai;
+  int16_t bs = (int16_t)(ai - hi);
+  a = (uint16_t)as;
+  b = (uint16_t)bs;
+}
+
+static inline void wenc16(uint16_t a, uint16_t b, uint16_t& l, uint16_t& h) {
+  int ao = (a + W16_A_OFFSET) & W16_MOD_MASK;
+  int m = (ao + b) >> 1;
+  int d = ao - b;
+  if (d < 0) m = (m + W16_A_OFFSET) & W16_MOD_MASK;
+  d &= W16_MOD_MASK;
+  l = (uint16_t)m;
+  h = (uint16_t)d;
+}
+
+static inline void wdec16(uint16_t l, uint16_t h, uint16_t& a, uint16_t& b) {
+  int m = l, d = h;
+  int bb = (m - (d >> 1)) & W16_MOD_MASK;
+  int aa = (d + bb - W16_A_OFFSET) & W16_MOD_MASK;
+  b = (uint16_t)bb;
+  a = (uint16_t)aa;
+}
+
+static void wav2_encode(uint16_t* in, int nx, int ox, int ny, int oy,
+                        uint16_t mx) {
+  bool w14 = mx < (1 << 14);
+  int n = (nx > ny) ? ny : nx;
+  int p = 1, p2 = 2;
+  while (p2 <= n) {
+    uint16_t* py = in;
+    uint16_t* ey = in + (size_t)oy * (ny - p2);
+    int oy1 = oy * p, oy2 = oy * p2, ox1 = ox * p, ox2 = ox * p2;
+    uint16_t i00, i01, i10, i11;
+    for (; py <= ey; py += oy2) {
+      uint16_t* px = py;
+      uint16_t* ex = py + (size_t)ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        uint16_t* p10 = px + oy1;
+        uint16_t* p11 = p10 + ox1;
+        if (w14) {
+          wenc14(*px, *p01, i00, i01);
+          wenc14(*p10, *p11, i10, i11);
+          wenc14(i00, i10, *px, *p10);
+          wenc14(i01, i11, *p01, *p11);
+        } else {
+          wenc16(*px, *p01, i00, i01);
+          wenc16(*p10, *p11, i10, i11);
+          wenc16(i00, i10, *px, *p10);
+          wenc16(i01, i11, *p01, *p11);
+        }
+      }
+      if (nx & p) {
+        uint16_t* p10 = px + oy1;
+        if (w14)
+          wenc14(*px, *p10, i00, *p10);
+        else
+          wenc16(*px, *p10, i00, *p10);
+        *px = i00;
+      }
+    }
+    if (ny & p) {
+      uint16_t* px = py;
+      uint16_t* ex = py + (size_t)ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        if (w14)
+          wenc14(*px, *p01, i00, *p01);
+        else
+          wenc16(*px, *p01, i00, *p01);
+        *px = i00;
+      }
+    }
+    p = p2;
+    p2 <<= 1;
+  }
+}
+
+static void wav2_decode(uint16_t* in, int nx, int ox, int ny, int oy,
+                        uint16_t mx) {
+  bool w14 = mx < (1 << 14);
+  int n = (nx > ny) ? ny : nx;
+  int p = 1, p2;
+  while (p <= n) p <<= 1;
+  p >>= 1;
+  p2 = p;
+  p >>= 1;
+  while (p >= 1) {
+    uint16_t* py = in;
+    uint16_t* ey = in + (size_t)oy * (ny - p2);
+    int oy1 = oy * p, oy2 = oy * p2, ox1 = ox * p, ox2 = ox * p2;
+    uint16_t i00, i01, i10, i11;
+    for (; py <= ey; py += oy2) {
+      uint16_t* px = py;
+      uint16_t* ex = py + (size_t)ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        uint16_t* p10 = px + oy1;
+        uint16_t* p11 = p10 + ox1;
+        if (w14) {
+          wdec14(*px, *p10, i00, i10);
+          wdec14(*p01, *p11, i01, i11);
+          wdec14(i00, i01, *px, *p01);
+          wdec14(i10, i11, *p10, *p11);
+        } else {
+          wdec16(*px, *p10, i00, i10);
+          wdec16(*p01, *p11, i01, i11);
+          wdec16(i00, i01, *px, *p01);
+          wdec16(i10, i11, *p10, *p11);
+        }
+      }
+      if (nx & p) {
+        uint16_t* p10 = px + oy1;
+        if (w14)
+          wdec14(*px, *p10, i00, *p10);
+        else
+          wdec16(*px, *p10, i00, *p10);
+        *px = i00;
+      }
+    }
+    if (ny & p) {
+      uint16_t* px = py;
+      uint16_t* ex = py + (size_t)ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        if (w14)
+          wdec14(*px, *p01, i00, *p01);
+        else
+          wdec16(*px, *p01, i00, *p01);
+        *px = i00;
+      }
+    }
+    p2 = p;
+    p >>= 1;
+  }
+}
+
+// -- PIZ block compress / uncompress ----------------------------------------
+
+static int piz_channel_size(int pixel_type) {  // in uint16 units
+  return (pixel_type == 1) ? 1 : 2;            // HALF: 1, FLOAT/UINT: 2
+}
+
+static bool piz_uncompress_block(const uint8_t* in, size_t in_len, int w,
+                                 int lines,
+                                 const std::vector<ExrChannel>& channels,
+                                 std::vector<uint8_t>& out) {
+  if (in_len < 4) return false;
+  uint16_t min_nz, max_nz;
+  memcpy(&min_nz, in, 2);
+  memcpy(&max_nz, in + 2, 2);
+  const uint8_t* p = in + 4;
+  size_t rem = in_len - 4;
+  std::vector<uint8_t> bitmap(PIZ_BITMAP_BYTES, 0);
+  if (min_nz <= max_nz) {
+    if (max_nz >= PIZ_BITMAP_BYTES) return false;
+    size_t nb = (size_t)max_nz - min_nz + 1;
+    if (nb > rem) return false;
+    memcpy(bitmap.data() + min_nz, p, nb);
+    p += nb;
+    rem -= nb;
+  }
+  static thread_local std::vector<uint16_t> lut(65536);
+  int k = 0;
+  for (int i = 0; i < 65536; ++i)
+    if (i == 0 || (bitmap[i >> 3] & (1 << (i & 7)))) lut[k++] = (uint16_t)i;
+  uint16_t max_value = (uint16_t)(k - 1);
+  for (int i = k; i < 65536; ++i) lut[i] = 0;
+
+  if (rem < 4) return false;
+  int32_t hlen;
+  memcpy(&hlen, p, 4);
+  p += 4;
+  rem -= 4;
+  if (hlen < 0 || (size_t)hlen > rem) return false;
+
+  size_t total = 0;
+  for (const auto& c : channels)
+    total += (size_t)w * lines * piz_channel_size(c.pixel_type);
+  std::vector<uint16_t> tmp(total);
+  if (!huf_uncompress(p, (size_t)hlen, tmp.data(), total)) return false;
+
+  size_t off = 0;
+  std::vector<size_t> ch_off(channels.size());
+  for (size_t ci = 0; ci < channels.size(); ++ci) {
+    int size = piz_channel_size(channels[ci].pixel_type);
+    ch_off[ci] = off;
+    for (int j = 0; j < size; ++j)
+      wav2_decode(tmp.data() + off + j, w, size, lines, w * size, max_value);
+    off += (size_t)w * lines * size;
+  }
+  for (size_t i = 0; i < total; ++i) tmp[i] = lut[tmp[i]];
+
+  // interleave planar channel data back to scanline order
+  out.resize(total * 2);
+  uint8_t* dst = out.data();
+  for (int y = 0; y < lines; ++y) {
+    for (size_t ci = 0; ci < channels.size(); ++ci) {
+      int size = piz_channel_size(channels[ci].pixel_type);
+      const uint16_t* row = tmp.data() + ch_off[ci] + (size_t)y * w * size;
+      memcpy(dst, row, (size_t)w * size * 2);
+      dst += (size_t)w * size * 2;
+    }
+  }
+  return true;
+}
+
+static void piz_compress_block(const uint8_t* raw, int w, int lines,
+                               const std::vector<ExrChannel>& channels,
+                               std::vector<uint8_t>& out) {
+  size_t total = 0;
+  for (const auto& c : channels)
+    total += (size_t)w * lines * piz_channel_size(c.pixel_type);
+  // deinterleave scanline layout -> planar per channel
+  std::vector<uint16_t> tmp(total);
+  std::vector<size_t> ch_off(channels.size());
+  {
+    size_t off = 0;
+    for (size_t ci = 0; ci < channels.size(); ++ci) {
+      ch_off[ci] = off;
+      off += (size_t)w * lines * piz_channel_size(channels[ci].pixel_type);
+    }
+    const uint8_t* src = raw;
+    for (int y = 0; y < lines; ++y) {
+      for (size_t ci = 0; ci < channels.size(); ++ci) {
+        int size = piz_channel_size(channels[ci].pixel_type);
+        memcpy(tmp.data() + ch_off[ci] + (size_t)y * w * size, src,
+               (size_t)w * size * 2);
+        src += (size_t)w * size * 2;
+      }
+    }
+  }
+
+  std::vector<uint8_t> bitmap(PIZ_BITMAP_BYTES, 0);
+  for (size_t i = 0; i < total; ++i)
+    bitmap[tmp[i] >> 3] |= (uint8_t)(1 << (tmp[i] & 7));
+  bitmap[0] &= ~1;  // zero is always representable
+  static thread_local std::vector<uint16_t> lut(65536);
+  int k = 0;
+  for (int i = 0; i < 65536; ++i) {
+    if (i == 0 || (bitmap[i >> 3] & (1 << (i & 7))))
+      lut[i] = (uint16_t)k++;
+    else
+      lut[i] = 0;
+  }
+  uint16_t max_value = (uint16_t)(k - 1);
+  for (size_t i = 0; i < total; ++i) tmp[i] = lut[tmp[i]];
+
+  for (size_t ci = 0; ci < channels.size(); ++ci) {
+    int size = piz_channel_size(channels[ci].pixel_type);
+    for (int j = 0; j < size; ++j)
+      wav2_encode(tmp.data() + ch_off[ci] + j, w, size, lines, w * size,
+                  max_value);
+  }
+
+  int min_nz = 0, max_nz = PIZ_BITMAP_BYTES - 1;
+  while (min_nz < PIZ_BITMAP_BYTES && bitmap[min_nz] == 0) ++min_nz;
+  while (max_nz >= 0 && bitmap[max_nz] == 0) --max_nz;
+  if (min_nz > max_nz) {
+    min_nz = max_nz = 0;
+    // empty bitmap: emit min > max so the reader writes no bitmap bytes
+    min_nz = 1;
+    max_nz = 0;
+  }
+
+  std::vector<uint8_t> huf;
+  huf_compress(tmp.data(), total, huf);
+
+  out.clear();
+  uint16_t mn = (uint16_t)min_nz, mxz = (uint16_t)max_nz;
+  out.insert(out.end(), (uint8_t*)&mn, (uint8_t*)&mn + 2);
+  out.insert(out.end(), (uint8_t*)&mxz, (uint8_t*)&mxz + 2);
+  if (min_nz <= max_nz)
+    out.insert(out.end(), bitmap.begin() + min_nz,
+               bitmap.begin() + max_nz + 1);
+  int32_t hlen = (int32_t)huf.size();
+  out.insert(out.end(), (uint8_t*)&hlen, (uint8_t*)&hlen + 4);
+  out.insert(out.end(), huf.begin(), huf.end());
+}
+
 struct ExrImage {
   int width = 0, height = 0;
   std::vector<ExrChannel> channels;
@@ -384,8 +994,9 @@ ExrImage* exr_load(const char* path) {
     fclose(f);
     return img;
   }
-  if (compression != 0 && compression != 2 && compression != 3) {
-    img->error = "unsupported compression (only NONE/ZIPS/ZIP)";
+  if (compression != 0 && compression != 2 && compression != 3 &&
+      compression != 4) {
+    img->error = "unsupported compression (only NONE/ZIPS/ZIP/PIZ)";
     fclose(f);
     return img;
   }
@@ -405,7 +1016,7 @@ ExrImage* exr_load(const char* path) {
   img->height = h;
   img->data.assign((size_t)w * h * nc, 0.0f);
 
-  int lines_per_block = (compression == 3) ? 16 : 1;
+  int lines_per_block = (compression == 3) ? 16 : (compression == 4) ? 32 : 1;
   int n_blocks = (h + lines_per_block - 1) / lines_per_block;
   std::vector<uint64_t> offsets(n_blocks);
   if (!read_bytes(f, offsets.data(), 8 * (size_t)n_blocks)) {
@@ -435,8 +1046,9 @@ ExrImage* exr_load(const char* path) {
     }
     int block_lines = std::min(lines_per_block, h - y_start);
     size_t unpacked = (size_t)w * pix_bytes * block_lines;
-    // zlib can expand by ~0.1% + header; anything past that is corrupt
-    if (psize < 0 || (size_t)psize > max_block + max_block / 64 + 256) {
+    // zlib can expand by ~0.1% + header; PIZ adds bitmap + code table;
+    // anything past that is corrupt
+    if (psize < 0 || (size_t)psize > max_block + max_block / 8 + 65536) {
       img->error = "implausible block size";
       fclose(f);
       return img;
@@ -454,6 +1066,18 @@ ExrImage* exr_load(const char* path) {
         return img;
       }
       raw.assign(packed.begin(), packed.begin() + unpacked);
+    } else if (compression == 4) {
+      if (!piz_uncompress_block(packed.data(), packed.size(), w, block_lines,
+                                img->channels, raw)) {
+        img->error = "PIZ decode failed";
+        fclose(f);
+        return img;
+      }
+      if (raw.size() != unpacked) {
+        img->error = "PIZ size mismatch";
+        fclose(f);
+        return img;
+      }
     } else {
       raw.resize(unpacked);
       uLongf dlen = (uLongf)unpacked;
@@ -511,8 +1135,9 @@ void exr_free(ExrImage* i) { delete i; }
 // Write a scanline ZIP FLOAT EXR.  data: HWC float32; channels named
 // Y (c=1), BGR order on disk for c=3, ABGR for c=4 (alphabetical, as the
 // format requires).
-int32_t exr_save(const char* path, const float* data, int32_t w, int32_t h,
-                 int32_t c) {
+int32_t exr_save_ex(const char* path, const float* data, int32_t w, int32_t h,
+                    int32_t c, int32_t compression) {
+  if (compression != 3 && compression != 4) return -3;  // ZIP or PIZ
   static const char* names1[] = {"Y"};
   static const char* names3[] = {"B", "G", "R"};
   static const char* names4[] = {"A", "B", "G", "R"};
@@ -558,7 +1183,7 @@ int32_t exr_save(const char* path, const float* data, int32_t w, int32_t h,
     ch.push_back(0);
     attr("channels", "chlist", ch.data(), (int32_t)ch.size());
   }
-  uint8_t comp = 3;  // ZIP
+  uint8_t comp = (uint8_t)compression;
   attr("compression", "compression", &comp, 1);
   int32_t dw[4] = {0, 0, w - 1, h - 1};
   attr("dataWindow", "box2i", dw, 16);
@@ -573,7 +1198,7 @@ int32_t exr_save(const char* path, const float* data, int32_t w, int32_t h,
   attr("screenWindowWidth", "float", &sww, 4);
   fputc(0, f);  // end of header
 
-  int lines_per_block = 16;
+  int lines_per_block = (compression == 4) ? 32 : 16;
   int n_blocks = (h + lines_per_block - 1) / lines_per_block;
   long offset_table_pos = ftell(f);
   std::vector<uint64_t> offsets(n_blocks, 0);
@@ -597,11 +1222,21 @@ int32_t exr_save(const char* path, const float* data, int32_t w, int32_t h,
         }
       }
     }
-    std::vector<uint8_t> enc(raw);
-    exr_precompress(enc);
-    uLongf clen = compressBound((uLong)enc.size());
-    packed.resize(clen);
-    compress2(packed.data(), &clen, enc.data(), (uLong)enc.size(), 6);
+    size_t clen;
+    if (compression == 4) {
+      std::vector<ExrChannel> chans(names.size());
+      for (size_t ci = 0; ci < names.size(); ++ci)
+        chans[ci] = {names[ci], 2 /*FLOAT*/};
+      piz_compress_block(raw.data(), w, block_lines, chans, packed);
+      clen = packed.size();
+    } else {
+      std::vector<uint8_t> enc(raw);
+      exr_precompress(enc);
+      uLongf zlen = compressBound((uLong)enc.size());
+      packed.resize(zlen);
+      compress2(packed.data(), &zlen, enc.data(), (uLong)enc.size(), 6);
+      clen = zlen;
+    }
     int32_t y0 = y_start, psize;
     const uint8_t* payload;
     if (clen < raw.size()) {
@@ -619,6 +1254,11 @@ int32_t exr_save(const char* path, const float* data, int32_t w, int32_t h,
   fwrite(offsets.data(), 8, n_blocks, f);
   fclose(f);
   return 0;
+}
+
+int32_t exr_save(const char* path, const float* data, int32_t w, int32_t h,
+                 int32_t c) {
+  return exr_save_ex(path, data, w, h, c, 3);
 }
 
 }  // extern "C"

@@ -1,5 +1,6 @@
 """Native host-ops library tests (C++ hostops vs numpy fallbacks)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -135,3 +136,68 @@ def test_obj_file_roundtrip_via_loader(tmp_path):
     out = obj_io.load_obj(path)
     np.testing.assert_allclose(out["vertices"], verts, atol=1e-5)
     np.testing.assert_array_equal(out["faces"], faces)
+
+
+# ---------------------------------------------------------------------------
+# PIZ codec (wavelet + Huffman, from the OpenEXR spec)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not native.available(), reason="no native lib")
+def test_piz_roundtrip_exact():
+    """FLOAT-channel PIZ is lossless: write+read must be bit-exact,
+    including multi-block images (>32 scanlines) and odd sizes."""
+    rng = np.random.default_rng(0)
+    for shape in [(67, 41, 3), (200, 130, 3), (33, 17, 1), (32, 64, 4),
+                  (1, 7, 3), (100, 1, 3)]:
+        img = (rng.normal(size=shape) * 100).astype(np.float32)
+        img.flat[::7] = 0.0
+        path = "/tmp/piz_rt.exr"
+        native.write_exr(path, img, compression="piz")
+        back = native.read_exr(path)
+        if back.ndim == 3 and img.shape[-1] == 1:
+            back = back[..., :1]
+        np.testing.assert_array_equal(back.reshape(img.shape), img)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native lib")
+def test_piz_smaller_than_zip_on_halfish_data():
+    """PIZ exists because it beats ZIP on natural HDR data; sanity-check the
+    encoder actually compresses (not a store-raw fallback)."""
+    rng = np.random.default_rng(1)
+    y, x = np.mgrid[0:128, 0:128]
+    img = np.stack([np.sin(x / 9.0) + y / 64.0,
+                    np.cos(y / 7.0), (x + y) / 256.0], -1).astype(np.float32)
+    native.write_exr("/tmp/piz_c.exr", img, compression="piz")
+    native.write_exr("/tmp/zip_c.exr", img, compression="zip")
+    raw_bytes = img.nbytes
+    assert os.path.getsize("/tmp/piz_c.exr") < raw_bytes
+
+
+_BALLROOM = "/root/reference/tutorials/data/envmap/ballroom_1k.exr"
+
+
+@pytest.mark.skipif(not native.available() or not os.path.exists(_BALLROOM),
+                    reason="no native lib or reference asset")
+def test_piz_decodes_openexr_file():
+    """Decode a PIZ file produced by the real OpenEXR library (the
+    reference's shipped envmap).  A convention mismatch anywhere in the
+    wavelet/Huffman/bitmap pipeline produces high-frequency garbage, which
+    the spatial-correlation bound rejects."""
+    img = native.read_exr(_BALLROOM)
+    assert img.shape == (512, 1024, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0 and 0.1 < img.mean() < 10.0
+    d = np.abs(np.diff(img, axis=1)).mean()
+    assert d / img.mean() < 0.3, "decoded image is not spatially smooth"
+
+
+@pytest.mark.skipif(not native.available(), reason="no native lib")
+def test_piz_corrupt_file_errors_cleanly(tmp_path):
+    img = np.ones((40, 40, 3), np.float32)
+    path = str(tmp_path / "c.exr")
+    native.write_exr(path, img, compression="piz")
+    data = bytearray(open(path, "rb").read())
+    data[-30:] = bytes(30)  # stomp the huffman stream
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(Exception):
+        native.read_exr(path)
