@@ -23,7 +23,7 @@ from ..core.types import Ray, RenderOption
 from ..core.object import Object
 from ..core.sampler import Sampler
 from ..core.math import scrub_nonfinite
-from ..ops.image import splat_add, interior_average
+from ..ops.image import splat_add, splat_add_derivative_only, interior_average
 from ..scene.scene import Scene, SceneData
 from ..sensor.sensor import sample_primary_edge
 
@@ -32,6 +32,16 @@ from ..sensor.sensor import sample_primary_edge
 STREAM_INTERIOR = 0
 STREAM_PRIMARY = 1
 STREAM_SECONDARY = 2
+
+# Reverse-AD memory/recompute strategy for the interior bounce loop:
+#   "chunk"  — jax.checkpoint around each lane chunk (recompute the whole
+#              chunk, incl. intersections, in the backward sweep),
+#   "bounce" — jax.checkpoint around each bounce (store bounce-boundary
+#              states; recompute only within-bounce intermediates),
+#   "none"   — store everything (XLA decides; needs the most HBM).
+import os as _os
+
+REMAT_MODE = _os.environ.get("PSDR_REMAT", "chunk")
 
 # Max sample lanes materialised at once inside one fused program.  Larger
 # frames are processed as an in-jit loop over lane chunks: XLA's fusions
@@ -54,7 +64,8 @@ def _chunked_pixel_map(render_chunk, pix, spp: int, diff: bool):
     pix_pad = jnp.concatenate(
         [pix, jnp.zeros((n_pad - n_pix,), pix.dtype)]
     ).reshape(k, max_pix)
-    body = jax.checkpoint(render_chunk) if diff else render_chunk
+    body = (jax.checkpoint(render_chunk)
+            if diff and REMAT_MODE == "chunk" else render_chunk)
     out = jax.lax.map(body, pix_pad)
     return out.reshape(n_pad, -1)[:n_pix]
 
@@ -84,7 +95,7 @@ def _chunked_splat_sum(chunk_vals, n_samples: int, n_pix: int,
     if n_samples <= CHUNK_LANES:
         lanes = off + jnp.arange(n_samples, dtype=jnp.uint32)
         values, idx = chunk_vals(lanes, lanes < jnp.uint32(lane_total))
-        return splat_add(values, idx, n_pix)
+        return splat_add_derivative_only(values, idx, n_pix)
     k = -(-n_samples // CHUNK_LANES)
     n_pad = k * CHUNK_LANES
     lanes = off + jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, CHUNK_LANES)
@@ -92,13 +103,15 @@ def _chunked_splat_sum(chunk_vals, n_samples: int, n_pix: int,
         jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, CHUNK_LANES)
         < jnp.uint32(n_samples)
     )
-    body = jax.checkpoint(chunk_vals)
+    body = jax.checkpoint(chunk_vals) if REMAT_MODE == "chunk" else chunk_vals
 
     def scan_body(carry, xs):
         return carry, body(xs[0], xs[1])
 
     _, (values, idx) = jax.lax.scan(scan_body, 0, (lanes, mask))
-    return splat_add(values.reshape(-1, 3), idx.reshape(-1), n_pix)
+    return splat_add_derivative_only(
+        values.reshape(-1, 3), idx.reshape(-1), n_pix
+    )
 
 
 def _opts_key(opts: RenderOption):

@@ -90,6 +90,8 @@ class PathTracer(SecondaryEdgeMixin, Integrator):
         self.hide_emitters = hide_emitters
 
     def Li(self, sd, sampler, ray, active, diff: bool):
+        from .base import REMAT_MODE
+
         its = sd.ray_intersect(ray, active, mode="solid" if diff else "path", diff=diff)
         active = active & its.valid
 
@@ -99,15 +101,20 @@ class PathTracer(SecondaryEdgeMixin, Integrator):
         else:
             result = sd.Le(its, active)
 
-        for _depth in range(self.max_depth):
-            result = result + nee_contribution(
-                sd, its, sampler, active, diff, throughput
-            )
-            its1, active, bsdf_val, weight2, _eta = bsdf_bounce(
+        def bounce(sd, its, active, throughput):
+            r = nee_contribution(sd, its, sampler, active, diff, throughput)
+            its1, active1, bsdf_val, weight2, _eta = bsdf_bounce(
                 sd, its, sampler, active, diff
             )
-            throughput = throughput * bsdf_val
-            contrib = sd.Le(its1, active) * throughput * weight2[..., None]
-            result = result + jnp.where(active[..., None], contrib, 0.0)
-            its = its1
+            thr = throughput * bsdf_val
+            contrib = sd.Le(its1, active1) * thr * weight2[..., None]
+            r = r + jnp.where(active1[..., None], contrib, 0.0)
+            return r, its1, active1, thr
+
+        if diff and REMAT_MODE == "bounce":
+            bounce = jax.checkpoint(bounce)
+
+        for _depth in range(self.max_depth):
+            r, its, active, throughput = bounce(sd, its, active, throughput)
+            result = result + r
         return result

@@ -8,6 +8,8 @@ the interior term whose sample->pixel map is affine.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +22,39 @@ def splat_add(values, idx, n_pix: int):
     idx = jnp.where(idx >= 0, idx, n_pix)  # out of range -> dropped
     img = jnp.zeros((n_pix, values.shape[-1]), values.dtype)
     return img.at[idx].add(values, mode="drop")
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
+def splat_add_derivative_only(values, idx, n_pix: int):
+    """Splat for derivative-only estimators (boundary terms).
+
+    The boundary images satisfy ``value - stop_gradient(value)`` — their
+    PRIMAL is identically zero, so the primal scatter (8M+ lanes into the
+    pixel grid, the single most expensive op in the edge passes on TPU) is
+    skipped and zeros returned directly.  Differentiation still sees the
+    true linear relationship:
+
+    * forward mode (``jax.jvp`` grad images): the tangent rule scatter-adds
+      the lane tangents — one real scatter, unavoidable there;
+    * reverse mode (``jax.grad`` optimization): the transpose of that
+      linear tangent rule is a GATHER of the adjoint image at ``idx`` —
+      the whole pass becomes scatter-free.
+
+    The subtraction making the value derivative-only is built in: primal
+    values are ignored entirely.
+    """
+    del values, idx
+    return jnp.zeros((n_pix, 3), jnp.float32)
+
+
+@splat_add_derivative_only.defjvp
+def _splat_add_derivative_only_jvp(n_pix, primals, tangents):
+    values, idx = primals
+    t_values = tangents[0]
+    out = jnp.zeros((n_pix, 3), jnp.float32)
+    if type(t_values) is jax.custom_derivatives.SymbolicZero:
+        return out, jnp.zeros((n_pix, 3), jnp.float32)
+    return out, splat_add(t_values, idx, n_pix)
 
 
 def interior_average(values, n_active_pix: int, spp: int):
