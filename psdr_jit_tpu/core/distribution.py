@@ -19,7 +19,35 @@ import jax
 import jax.numpy as jnp
 
 from .types import pytree, static_field
-from .math import searchsorted_rows, safe_div
+from .math import searchsorted_1d, safe_div, SEARCHSORTED_DENSE_MAX
+
+
+def _sample_dense(cdf, pmf, scaled):
+    """(idx, pmf[idx], cdf[idx-1]) for one shared small table, with ZERO
+    gathers: device profiling (2026-08-17, v5e) showed both per-row
+    ``take_along_axis`` AND tiny shared-table gathers (``pmf[idx]`` with an
+    80-entry table) lowering to SMEM-serialized scalar loops at ~200x below
+    VPU throughput inside the edge-pass scans.  Dense (lanes, N) compares +
+    row reductions fuse into streaming VPU code instead.
+    """
+    shape = scaled.shape
+    flat = scaled.reshape(-1)
+    lt = cdf[None, :] < flat[:, None]                      # (L, N)
+    idx = jnp.minimum(
+        jnp.sum(lt, axis=-1, dtype=jnp.int32), cdf.shape[0] - 1
+    )
+    lower = jnp.max(jnp.where(lt, cdf[None, :], 0.0), axis=-1)  # cdf[idx-1]
+    ge = ~lt
+    first = ge & jnp.concatenate(
+        [jnp.ones((flat.shape[0], 1), bool), lt[:, :-1]], axis=-1
+    )
+    # if scaled > total (u == 1.0 edge) no 'first' is set: fall back to last
+    none_set = ~jnp.any(first, axis=-1)
+    p = jnp.sum(jnp.where(first, pmf[None, :], 0.0), axis=-1)
+    p = jnp.where(none_set, pmf[-1], p)
+    lower_last = cdf[-2] if cdf.shape[0] > 1 else jnp.float32(0.0)
+    lower = jnp.where(none_set, lower_last, lower)
+    return idx.reshape(shape), p.reshape(shape), lower.reshape(shape)
 
 
 @pytree
@@ -52,8 +80,12 @@ class DiscreteDistribution:
     def sample(self, u):
         """Return (idx, normalized pdf) for uniform samples ``u``."""
         scaled = u * self.total
-        idx = searchsorted_rows(jnp.broadcast_to(self.cdf, u.shape + self.cdf.shape), scaled)
-        return idx, self.pmf[idx] / self.total
+        if self.size <= SEARCHSORTED_DENSE_MAX:
+            idx, p, _ = _sample_dense(self.cdf, self.pmf, scaled)
+        else:
+            idx = searchsorted_1d(self.cdf, scaled)
+            p = self.pmf[idx]
+        return idx, p / self.total
 
     def sample_reuse(self, u):
         """Return (idx, pdf, u') reusing the random number (pmf.cpp:30-51)."""
@@ -61,11 +93,12 @@ class DiscreteDistribution:
             idx = jnp.zeros(u.shape, jnp.int32)
             return idx, jnp.ones_like(u), u
         scaled = u * self.total
-        idx = searchsorted_rows(
-            jnp.broadcast_to(self.cdf, u.shape + self.cdf.shape), scaled
-        )
-        lower = jnp.where(idx > 0, self.cdf[jnp.maximum(idx - 1, 0)], 0.0)
-        p = self.pmf[idx]
+        if self.size <= SEARCHSORTED_DENSE_MAX:
+            idx, p, lower = _sample_dense(self.cdf, self.pmf, scaled)
+        else:
+            idx = searchsorted_1d(self.cdf, scaled)
+            lower = jnp.where(idx > 0, self.cdf[jnp.maximum(idx - 1, 0)], 0.0)
+            p = self.pmf[idx]
         u_new = jnp.clip(safe_div(scaled - lower, p), 0.0, 1.0)
         return idx, p / self.total, u_new
 

@@ -192,7 +192,12 @@ def searchsorted_rows(cdf, u):
     """Batched searchsorted: first index i with cdf[..., i] >= u.
 
     ``cdf``: (..., N) row-sorted; ``u``: (...,).  Pure log2(N) binary search
-    with static trip count — maps to unrolled vector selects on TPU.
+    with static trip count.
+
+    WARNING (TPU): ``take_along_axis`` on per-row tables lowers to
+    SMEM-serialized scalar code (~200x below VPU throughput, device-profile
+    2026-08-17).  Use :func:`searchsorted_1d` whenever every row shares one
+    table — the distribution sampling hot paths all do.
     """
     n = cdf.shape[-1]
     lo = jnp.zeros(u.shape, jnp.int32)
@@ -201,6 +206,39 @@ def searchsorted_rows(cdf, u):
     for _ in range(steps):
         mid = (lo + hi) // 2
         cm = jnp.take_along_axis(cdf, mid[..., None], axis=-1)[..., 0]
+        pred = cm < u
+        lo = jnp.where(pred, mid + 1, lo)
+        hi = jnp.where(pred, hi, mid)
+    return lo
+
+
+# Below this table size a dense compare-count beats binary search on the
+# VPU (one (lanes, N) compare + row reduction, zero gathers); above it,
+# log2(N) shared-table gathers win.
+SEARCHSORTED_DENSE_MAX = 2048
+
+
+def searchsorted_1d(cdf, u):
+    """First index i with cdf[i] >= u, one shared (N,) table for all lanes.
+
+    TPU-native forms: small tables use a dense comparison count (pure VPU,
+    no gathers); large tables use binary search with SHARED-table
+    ``jnp.take`` lookups, which lower to efficient dynamic gathers (unlike
+    per-row ``take_along_axis``).
+    """
+    n = cdf.shape[-1]
+    if n <= SEARCHSORTED_DENSE_MAX:
+        flat = u.reshape(-1)
+        idx = jnp.sum(
+            cdf[None, :] < flat[:, None], axis=-1, dtype=jnp.int32
+        )
+        return jnp.minimum(idx, n - 1).reshape(u.shape)
+    lo = jnp.zeros(u.shape, jnp.int32)
+    hi = jnp.full(u.shape, n - 1, jnp.int32)
+    steps = max(1, (n - 1).bit_length())
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        cm = jnp.take(cdf, mid)
         pred = cm < u
         lo = jnp.where(pred, mid + 1, lo)
         hi = jnp.where(pred, hi, mid)

@@ -78,30 +78,45 @@ class SceneData:
     # Intersection (scene.cpp:612-806)
     # ------------------------------------------------------------------
     def gather_tri_diff(self, idx, diff: bool = True):
-        """Gather all *differentiable* per-face fields for hit indices.
+        """Gather all per-face fields for hit indices in ONE op.
 
-        Packs (p0, e1, e2, n0, n1, n2, face_normal, face_area, uv0..2) into
-        one (F, 28) matrix and gathers it in a single op.  In differentiable
-        code the gather is a one-hot matmul: its transpose is one MXU matmul
-        into (F, 28) instead of ~9 separate scatter-adds — TPU scatters have
-        a large fixed cost (~30 ms each on v5e), which otherwise dominates the
-        backward pass of every bounce.  Primal-only renders (``diff=False``)
-        use the plain gather to skip the (N, F) one-hot HBM traffic.
+        Packs (p0, e1, e2, n0, n1, n2, face_normal, face_area, uv0..2,
+        face_indices, fn_mask, mesh_id) into one (F, 33) matrix gathered as
+        a one-hot matmul (``ops/gather.py``).  Two reasons, both measured
+        on v5e:
+
+        * backward: the matmul transpose is one MXU op into (F, 33) instead
+          of ~9 separate scatter-adds (~30 ms fixed cost each);
+        * forward: PLAIN row gathers (``packed[idx]``) lower to
+          SMEM-serialized scalar loops (~130 ms per field per 128k-lane
+          chunk, device profile 2026-08-17) — this made the detached edge
+          Li passes 5x slower than the interior pass in round 1.
+
+        The integer fields ride along as f32 columns (all values < 2^24, so
+        the cast is exact) to avoid three extra serialized int gathers per
+        reconstruction.
         """
+        del diff  # one-hot is the right path for primal AND diff code
         tri = self.tri
         packed = jnp.concatenate(
             [
                 tri.p0, tri.e1, tri.e2, tri.n0, tri.n1, tri.n2,
                 tri.face_normal, tri.face_area[:, None],
                 self.tri_uv.reshape(-1, 6),
+                tri.face_indices.astype(jnp.float32),
+                self.face_normal_mask.astype(jnp.float32)[:, None],
+                self.face_mesh_id.astype(jnp.float32)[:, None],
             ],
             axis=1,
-        )  # (F, 28)
-        rows = gather_rows(packed, idx) if diff else packed[idx]
+        )  # (F, 33)
+        rows = gather_rows(packed, idx)
         return (
             rows[..., 0:3], rows[..., 3:6], rows[..., 6:9], rows[..., 9:12],
             rows[..., 12:15], rows[..., 15:18], rows[..., 18:21],
             rows[..., 21], rows[..., 22:28].reshape(idx.shape + (3, 2)),
+            jax.lax.stop_gradient(rows[..., 28:31]).astype(jnp.int32),
+            jax.lax.stop_gradient(rows[..., 31]) > 0.5,
+            jax.lax.stop_gradient(rows[..., 32]).astype(jnp.int32),
         )
 
     def ray_intersect(self, ray: Ray, active=None, mode: str = "path",
@@ -124,10 +139,8 @@ class SceneData:
         idx = jnp.maximum(tri_id, 0)
 
         (p0, e1, e2, n0, n1, n2, face_normal, face_area,
-         uv_info) = self.gather_tri_diff(idx, diff=diff)
-        face_indices = tri.face_indices[idx]
-        fn_mask = self.face_normal_mask[idx]
-        mesh_id = self.face_mesh_id[idx]
+         uv_info, face_indices, fn_mask, mesh_id) = self.gather_tri_diff(
+            idx, diff=diff)
 
         if mode == "path":
             uv = uv_payload  # detached barycentrics from the kernel
@@ -271,16 +284,22 @@ class SceneData:
 
         u0 = sample3[..., 0]
         edge_idx, pdf0, u0 = self.sec_edge_distrb.sample_reuse(u0)
-        # differentiable gather of (p0, e1) in one packed matmul-gather
+        # ONE packed matmul-gather for every per-edge field (plain
+        # shared-table gathers serialize through SMEM on TPU)
         rows = gather_rows(
-            jnp.concatenate([se.p0, se.e1], axis=1), edge_idx
+            jnp.concatenate(
+                [se.p0, se.e1, se.n0, se.n1, se.p2,
+                 se.is_boundary.astype(jnp.float32)[:, None]],
+                axis=1,
+            ),
+            edge_idx,
         )
         p0_edge = rows[..., 0:3]
         e1 = rows[..., 3:6]
-        n0 = jax.lax.stop_gradient(se.n0[edge_idx])
-        n1 = jax.lax.stop_gradient(se.n1[edge_idx])
-        p2_third = jax.lax.stop_gradient(se.p2[edge_idx])
-        is_boundary = se.is_boundary[edge_idx]
+        n0 = jax.lax.stop_gradient(rows[..., 6:9])
+        n1 = jax.lax.stop_gradient(rows[..., 9:12])
+        p2_third = jax.lax.stop_gradient(rows[..., 12:15])
+        is_boundary = jax.lax.stop_gradient(rows[..., 15]) > 0.5
 
         p0 = p0_edge + e1 * u0[..., None]    # AD through vertices
         edge_dir = normalize(jax.lax.stop_gradient(e1))

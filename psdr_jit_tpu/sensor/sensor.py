@@ -131,13 +131,19 @@ def sample_primary_edge(sensor: SensorData, sample1) -> PrimaryEdgeSample:
     """Sample a point on a projected silhouette edge (perspective.cpp:200-226)."""
     info = sensor.edge_info
     edge_idx, pdf, u = info.distrb.sample_reuse(sample1)
-    pdf = safe_div(pdf, jax.lax.stop_gradient(info.edge_length[edge_idx]))
-    edge_normal = jax.lax.stop_gradient(info.edge_normal[edge_idx])
+    # one packed one-hot gather for every per-edge field: plain shared-table
+    # gathers serialize through SMEM on TPU (device profile 2026-08-17)
     rows = gather_rows(
-        jnp.concatenate([info.p0, info.p1], axis=1), edge_idx
+        jnp.concatenate(
+            [info.p0, info.p1, info.edge_normal, info.edge_length[:, None]],
+            axis=1,
+        ),
+        edge_idx,
     )
     p0 = rows[..., 0:2]
     p1 = rows[..., 2:4]
+    edge_normal = jax.lax.stop_gradient(rows[..., 4:6])
+    pdf = safe_div(pdf, jax.lax.stop_gradient(rows[..., 6]))
     p_diff = p0 * (1.0 - u[..., None]) + p1 * u[..., None]
     p = jax.lax.stop_gradient(p_diff)
     x_dot_n = dot(p_diff, edge_normal)
