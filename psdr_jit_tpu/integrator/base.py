@@ -241,6 +241,17 @@ class Integrator(Object):
             return jnp.zeros((n_pix, 3), jnp.float32)
         spp = opts.spp
 
+        if diff and REMAT_MODE == "prb" and getattr(self, "supports_prb",
+                                                    False):
+            from .prb import make_prb_chunk
+
+            prb_chunk = make_prb_chunk(self, opts, sensor_id, spp)
+            return _chunked_pixel_map(
+                lambda pix_chunk: prb_chunk(sd, jnp.asarray(seed, jnp.uint32),
+                                            pix_chunk),
+                pix, spp, diff,
+            )
+
         def render_chunk(pix_chunk):
             m = pix_chunk.shape[0]
             sample_pix = jnp.repeat(pix_chunk, spp)

@@ -14,7 +14,8 @@ from .base import Integrator
 from .edge import SecondaryEdgeMixin
 
 
-def nee_contribution(sd, its, sampler, active, diff: bool, throughput):
+def nee_contribution(sd, its, sampler, active, diff: bool, throughput,
+                     tape=None):
     """Next-event estimation block (path.cpp:47-83).  Returns contribution."""
     ps = sd.sample_emitter_position(its.p, sampler.next_2d(), active)
     active_direct = active & ps.is_valid & ~sd.is_emitter(its, active)
@@ -22,7 +23,8 @@ def nee_contribution(sd, its, sampler, active, diff: bool, throughput):
     dist_sqr = squared_norm(wod)
     dist = safe_sqrt(dist_sqr)
     wod = wod * safe_div(1.0, dist)[..., None]
-    its1 = sd.ray_intersect(Ray(its.p, wod), active_direct, mode="path", diff=diff)
+    its1 = sd.ray_intersect(Ray(its.p, wod), active_direct, mode="path",
+                            diff=diff, tape=tape)
     active_direct = (
         active_direct
         & its1.valid
@@ -47,14 +49,14 @@ def nee_contribution(sd, its, sampler, active, diff: bool, throughput):
     return jnp.where(active_direct[..., None], contrib, 0.0)
 
 
-def bsdf_bounce(sd, its, sampler, active, diff: bool):
+def bsdf_bounce(sd, its, sampler, active, diff: bool, tape=None):
     """BSDF-sampling bounce (path.cpp:85-123).
 
     Returns (its1, active, bsdf_throughput_factor, weight2, eta).
     """
     bs = sd.sample_bsdf(its, sampler.next_nd(3), active)
     ray = Ray(its.p, its.sh_frame.to_world(bs.wo))
-    its1 = sd.ray_intersect(ray, active, mode="path", diff=diff)
+    its1 = sd.ray_intersect(ray, active, mode="path", diff=diff, tape=tape)
     active = active & bs.is_valid & its1.valid
     t_det = jax.lax.stop_gradient(its1.t)
     if diff:
@@ -82,6 +84,8 @@ class PathTracer(SecondaryEdgeMixin, Integrator):
     """PathTracer(max_depth) — unrolled depth loop like the reference
     (path.cpp:45, LoopRecord disabled at psdr.cpp:105)."""
 
+    supports_prb = True  # path-replay reverse mode (integrator/prb.py)
+
     def __init__(self, max_depth: int = 1, hide_emitters: bool = False):
         assert max_depth >= 0
         Integrator.__init__(self)
@@ -89,10 +93,11 @@ class PathTracer(SecondaryEdgeMixin, Integrator):
         self.max_depth = max_depth
         self.hide_emitters = hide_emitters
 
-    def Li(self, sd, sampler, ray, active, diff: bool):
+    def Li(self, sd, sampler, ray, active, diff: bool, tape=None):
         from .base import REMAT_MODE
 
-        its = sd.ray_intersect(ray, active, mode="solid" if diff else "path", diff=diff)
+        its = sd.ray_intersect(ray, active, mode="solid" if diff else "path",
+                               diff=diff, tape=tape)
         active = active & its.valid
 
         throughput = jnp.ones(its.t.shape + (3,), jnp.float32)
@@ -102,9 +107,10 @@ class PathTracer(SecondaryEdgeMixin, Integrator):
             result = sd.Le(its, active)
 
         def bounce(sd, its, active, throughput):
-            r = nee_contribution(sd, its, sampler, active, diff, throughput)
+            r = nee_contribution(sd, its, sampler, active, diff, throughput,
+                                 tape=tape)
             its1, active1, bsdf_val, weight2, _eta = bsdf_bounce(
-                sd, its, sampler, active, diff
+                sd, its, sampler, active, diff, tape=tape
             )
             thr = throughput * bsdf_val
             contrib = sd.Le(its1, active1) * thr * weight2[..., None]

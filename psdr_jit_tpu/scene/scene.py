@@ -120,7 +120,7 @@ class SceneData:
         )
 
     def ray_intersect(self, ray: Ray, active=None, mode: str = "path",
-                      backend: str = "auto", diff: bool = True):
+                      backend: str = "auto", diff: bool = True, tape=None):
         """Closest hit + differentiable reconstruction.
 
         ``mode``:
@@ -131,11 +131,22 @@ class SceneData:
           Jacobian ``J`` (all secondary rays).
 
         The primal values agree; only derivatives differ (scene.cpp:736-806).
+
+        ``tape`` (integrator/prb.py IntersectTape): in record mode the
+        detached payload of every intersection is appended; in replay mode
+        the kernel launch is skipped and the saved payload reused — the
+        path-replay backward pass reconstructs differentiable states from
+        payloads without re-tracing rays.
         """
         tri = self.tri
-        tri_id, valid, uv_payload, _t = ray_intersect_detached(
-            tri.p0, tri.e1, tri.e2, ray, active, backend=backend
-        )
+        if tape is not None and tape.replaying:
+            tri_id, valid, uv_payload = tape.pop()
+        else:
+            tri_id, valid, uv_payload, _t = ray_intersect_detached(
+                tri.p0, tri.e1, tri.e2, ray, active, backend=backend
+            )
+            if tape is not None:
+                tape.append((tri_id, valid, uv_payload))
         idx = jnp.maximum(tri_id, 0)
 
         (p0, e1, e2, n0, n1, n2, face_normal, face_area,
