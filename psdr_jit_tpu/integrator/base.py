@@ -38,7 +38,14 @@ STREAM_SECONDARY = 2
 #              chunk, incl. intersections, in the backward sweep),
 #   "bounce" — jax.checkpoint around each bounce (store bounce-boundary
 #              states; recompute only within-bounce intermediates),
-#   "none"   — store everything (XLA decides; needs the most HBM).
+#   "none"   — store everything (XLA decides; needs the most HBM),
+#   "prb"    — custom_vjp path-replay (integrator/prb.py): payloads saved,
+#              zero re-intersections in the backward; reverse-mode only.
+# Swept on v5e cbox 512x512 spp=32 depth=3 interior fwd+bwd (2026-08-17):
+# prb 478 ms/step, chunk 521 ms, bounce 543 ms, none OOMs HBM.  "chunk"
+# stays the default because forward-mode grad images (jax.jvp) cannot go
+# through custom_vjp; reverse-mode production loops should set
+# PSDR_REMAT=prb.
 import os as _os
 
 REMAT_MODE = _os.environ.get("PSDR_REMAT", "chunk")
@@ -103,7 +110,9 @@ def _chunked_splat_sum(chunk_vals, n_samples: int, n_pix: int,
         jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, CHUNK_LANES)
         < jnp.uint32(n_samples)
     )
-    body = jax.checkpoint(chunk_vals) if REMAT_MODE == "chunk" else chunk_vals
+    # edge chunks always remat unless explicitly disabled: without the
+    # checkpoint, the scan stacks every chunk's residuals (OOM at full frame)
+    body = chunk_vals if REMAT_MODE == "none" else jax.checkpoint(chunk_vals)
 
     def scan_body(carry, xs):
         return carry, body(xs[0], xs[1])

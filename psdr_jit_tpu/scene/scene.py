@@ -140,13 +140,18 @@ class SceneData:
         """
         tri = self.tri
         if tape is not None and tape.replaying:
-            tri_id, valid, uv_payload = tape.pop()
+            # payload stored as 1-D components: an (N, 2) residual array
+            # would pay the T(8,128) 64x layout padding when stacked across
+            # the chunk scan (custom_vjp residuals)
+            tri_id, valid, pu, pv = tape.pop()
+            uv_payload = jnp.stack([pu, pv], axis=-1)
         else:
             tri_id, valid, uv_payload, _t = ray_intersect_detached(
                 tri.p0, tri.e1, tri.e2, ray, active, backend=backend
             )
             if tape is not None:
-                tape.append((tri_id, valid, uv_payload))
+                tape.append((tri_id, valid,
+                             uv_payload[..., 0], uv_payload[..., 1]))
         idx = jnp.maximum(tri_id, 0)
 
         (p0, e1, e2, n0, n1, n2, face_normal, face_area,
