@@ -41,11 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import RAY_EPSILON
 
+import os as _os
+
 _INF = 1e30
 LANES = 128
 SUPER = 512          # triangles per streamed block (matches intersect_pallas)
 CLUSTER = 64         # cluster granularity inside a block
-TILE_ROWS = 64       # rays per tile = TILE_ROWS * LANES = 8192
+# rays per tile = TILE_ROWS * LANES; smaller tiles cull tighter but pay more
+# grid-step overhead (sweepable for experiments)
+TILE_ROWS = int(_os.environ.get("PSDR_BVH_TILE_ROWS", "64"))
 
 
 # ---------------------------------------------------------------------------
@@ -74,7 +78,15 @@ def _morton10(p, lo, inv_extent):
 
 def sort_rays(ray_o, ray_d):
     """Return (perm, inv_perm) ordering rays by
-    (direction octant, origin Morton, |direction| Morton)."""
+    (direction octant + coarse origin cell, direction Morton, fine origin
+    Morton).
+
+    Key order matters for the tile culling bounds: sorting fine origin
+    before direction gives tiles a tight origin box but a whole-octant
+    direction cone (measured 3.8x on 100k-tri incoherent rays); putting a
+    COARSE origin cell first and the direction next gives tiles both a
+    moderate origin box AND a narrow cone, which the interval test turns
+    into far fewer visited blocks."""
     n = ray_o.shape[0]
     octant = (
         (ray_d[:, 0] < 0).astype(jnp.uint32)
@@ -83,11 +95,13 @@ def sort_rays(ray_o, ray_d):
     )
     lo = jnp.min(ray_o, axis=0)
     extent = jnp.maximum(jnp.max(ray_o, axis=0) - lo, 1e-6)
-    key_o = _morton10(ray_o, lo, 1.0 / extent)
+    key_o = _morton10(ray_o, lo, 1.0 / extent)          # 30-bit fine origin
+    coarse = key_o >> 21                                # top 3 bits/axis
     key_d = _morton10(jnp.abs(ray_d), jnp.zeros(3), jnp.ones(3))
+    key1 = (octant << 9) | coarse
     iota = jnp.arange(n, dtype=jnp.int32)
     _, _, _, perm = jax.lax.sort(
-        (octant, key_o, key_d, iota), num_keys=3
+        (key1, key_d, key_o, iota), num_keys=3
     )
     # inverse permutation via one more sort (scatter has a ~30 ms fixed
     # cost on TPU; sort does not)
@@ -151,15 +165,21 @@ def tile_block_visit(ray_o, ray_d, block_lo, block_hi, tile_rays: int):
     pos_lo = o0[:, None, :] + jnp.min(td, axis=0)
     pos_hi = o1[:, None, :] + jnp.max(td, axis=0)
     reach = (pos_hi >= block_lo[None, :, :]) & (pos_lo <= block_hi[None, :, :])
-    return visit & jnp.all(reach, axis=-1)
+    return visit & jnp.all(reach, axis=-1), t_near
 
 
-def build_fetch_list(visit):
+def build_fetch_list(visit, t_near=None):
     """(T, B) bool -> (fetch (T, B) int32, counts (T,) int32): visited block
-    indices first (ascending), padding repeats the last visited block so
-    the Pallas pipeline skips the redundant DMA."""
+    indices first — FRONT-TO-BACK by conservative entry distance when
+    ``t_near`` is given, so the kernel's closest-hit improvement test can
+    skip far blocks — padding repeats the last visited block so the Pallas
+    pipeline skips the redundant DMA."""
     n_tiles, n_blocks = visit.shape
-    order = jnp.argsort(~visit, axis=1, stable=True).astype(jnp.int32)
+    if t_near is None:
+        order = jnp.argsort(~visit, axis=1, stable=True).astype(jnp.int32)
+    else:
+        key = jnp.where(visit, jnp.maximum(t_near, 0.0), _INF)
+        order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
     counts = visit.sum(axis=1).astype(jnp.int32)
     k = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
     clamp = jnp.minimum(k, jnp.maximum(counts - 1, 0)[:, None])
@@ -381,8 +401,8 @@ def ray_intersect_bvh(p0, e1, e2, ray_o, ray_d,
     # block AABBs is unnecessary (they never hit), but an all-degenerate
     # padding block gets a point AABB and is culled for most tiles anyway.
 
-    visit = tile_block_visit(ray_o, ray_d, block_lo, block_hi, tile)
-    fetch, counts = build_fetch_list(visit)
+    visit, t_near = tile_block_visit(ray_o, ray_d, block_lo, block_hi, tile)
+    fetch, counts = build_fetch_list(visit, t_near)
 
     ray_comps = [
         ray_o[:, i].reshape(n_pad // LANES, LANES) for i in range(3)

@@ -50,6 +50,54 @@ def make_rays(n_ray, seed=1, coherent=False):
     return jnp.asarray(ro), jnp.asarray(rd)
 
 
+def make_room(n_tri, seed=0):
+    """psdr-room-class scene: geometry concentrated on surfaces (6 walls +
+    interior boxes tessellated into small triangles), interior empty."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    # walls of a [0,10]^3 room
+    per_wall = n_tri // 12
+    for axis in range(3):
+        for side in (0.0, 10.0):
+            uv = rng.uniform(0, 10, (per_wall * 2, 2)).astype(np.float32)
+            p = np.empty((per_wall * 2, 3), np.float32)
+            p[:, axis] = side
+            p[:, (axis + 1) % 3] = uv[:, 0]
+            p[:, (axis + 2) % 3] = uv[:, 1]
+            pts.append(p)
+    c = np.concatenate(pts)[:n_tri]
+    n_tri = c.shape[0]  # wall partition may not divide evenly
+    from psdr_jit_tpu.native import morton_order
+    perm = np.asarray(morton_order(c), np.int32)
+    c = c[perm]
+    p0 = c
+    e1 = rng.uniform(-0.08, 0.08, (n_tri, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.08, 0.08, (n_tri, 3)).astype(np.float32)
+    return jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2)
+
+
+def make_bounce_rays(n_ray, seed=1):
+    """Secondary-bounce-like rays: origins ON the walls, cosine-ish
+    directions into the room — the realistic incoherent workload."""
+    rng = np.random.default_rng(seed)
+    n6 = n_ray // 6 + 1
+    ro, rd = [], []
+    for axis in range(3):
+        for side, sgn in ((0.05, 1.0), (9.95, -1.0)):
+            p = np.empty((n6, 3), np.float32)
+            p[:, axis] = side
+            p[:, (axis + 1) % 3] = rng.uniform(0, 10, n6)
+            p[:, (axis + 2) % 3] = rng.uniform(0, 10, n6)
+            d = rng.normal(size=(n6, 3)).astype(np.float32)
+            d[:, axis] = sgn * np.abs(d[:, axis])
+            ro.append(p); rd.append(d)
+    ro = np.concatenate(ro)[:n_ray]
+    rd = np.concatenate(rd)[:n_ray]
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    sh = rng.permutation(n_ray)  # shuffle so arrival order is incoherent
+    return jnp.asarray(ro[sh]), jnp.asarray(rd[sh])
+
+
 def dense_path(p0, e1, e2, ro, rd):
     """The pre-BVH dense streaming kernel, regardless of triangle count."""
     f = p0.shape[0]
@@ -100,9 +148,15 @@ def bench(fn, *args, n_iter=3):
 
 
 def main():
+    cases = []
     p0, e1, e2 = make_scene(N_TRI)
-    for label, coherent in (("incoherent", False), ("coherent", True)):
+    for label, coherent in (("cloud-incoherent", False), ("cloud-coherent", True)):
         ro, rd = make_rays(N_RAY, coherent=coherent)
+        cases.append((label, (p0, e1, e2), (ro, rd)))
+    rp0, re1, re2 = make_room(N_TRI)
+    bro, brd = make_bounce_rays(N_RAY)
+    cases.append(("room-bounce", (rp0, re1, re2), (bro, brd)))
+    for label, (p0, e1, e2), (ro, rd) in cases:
 
         jf = jax.jit(lambda *a: ray_intersect_bvh(*a))
         dt_bvh, out_bvh = bench(jf, p0, e1, e2, ro, rd)

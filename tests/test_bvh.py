@@ -40,10 +40,11 @@ def test_tile_block_visit_is_conservative():
     block_lo = rng.uniform(-3, 1, (16, 3)).astype(np.float32)
     block_hi = block_lo + rng.uniform(0.2, 2.0, (16, 3)).astype(np.float32)
 
-    visit = np.asarray(tile_block_visit(
+    visit, _ = tile_block_visit(
         jnp.asarray(o), jnp.asarray(d),
         jnp.asarray(block_lo), jnp.asarray(block_hi), tile,
-    ))
+    )
+    visit = np.asarray(visit)
 
     # exact per-ray slab test
     inv_d = 1.0 / d
@@ -67,6 +68,12 @@ def test_build_fetch_list():
     np.testing.assert_array_equal(counts, [2, 0, 4])
     np.testing.assert_array_equal(fetch[0], [1, 3, 3, 3])  # pad repeats last
     np.testing.assert_array_equal(fetch[2], [0, 1, 2, 3])
+    # front-to-back ordering by entry distance
+    tn = jnp.asarray([[9., 1., 9., 5.], [0.] * 4, [3., 2., 1., 0.]])
+    fetch2, counts2 = build_fetch_list(visit, tn)
+    np.testing.assert_array_equal(np.asarray(counts2), [2, 0, 4])
+    np.testing.assert_array_equal(np.asarray(fetch2)[0], [1, 3, 3, 3])
+    np.testing.assert_array_equal(np.asarray(fetch2)[2], [3, 2, 1, 0])
 
 
 def _run(p0, e1, e2, ro, rd, sort=True):
@@ -131,10 +138,11 @@ def test_bvh_culling_actually_skips_blocks():
                    (v0 + e2.reshape(-1, 64, 3)).max(1)]).max(0)
     block_lo = lo.reshape(4, 8, 3).min(1)
     block_hi = hi.reshape(4, 8, 3).max(1)
-    visit = np.asarray(tile_block_visit(
+    visit, _ = tile_block_visit(
         jnp.asarray(ro_s), jnp.asarray(rd_s),
         jnp.asarray(block_lo), jnp.asarray(block_hi), tile,
-    ))
+    )
+    visit = np.asarray(visit)
     # rays only reach block 2: on average tiles visit few blocks
     assert visit.mean() < 0.75, f"no culling: visit rate {visit.mean()}"
     assert visit[:, 2].all()  # the hit block is always visited
