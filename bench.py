@@ -26,6 +26,12 @@ import os
 import sys
 import time
 
+# The benchmark is a pure reverse-mode training step: use the custom_vjp
+# path-replay backward (integrator/prb.py) — the recommended production
+# config for jax.grad loops (A/B on v5e: prb 478 ms/step vs chunk-remat
+# 521 ms; see integrator/base.py REMAT_MODE).  Must be set before import.
+os.environ.setdefault("PSDR_REMAT", "prb")
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
 
 import jax
