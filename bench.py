@@ -1,24 +1,27 @@
 """Benchmark: Mrays/s/chip forward+backward on the Cornell box.
 
 Canonical workload (reference README.md:42-116 + BASELINE.json): cbox
-512x512, spp=32, sppe=32, sppse=32, PathTracer(3) — one forward render +
-gradient w.r.t. scene parameters (vertex positions of a block + light
-radiance), i.e. the fwd+bwd step of an inverse-rendering loop with ALL
-three estimators (interior + primary-edge + secondary-edge boundary terms).
+512x512, spp=32, sppe=32, sppse=32, PathTracer(3) — one training step of an
+inverse-rendering loop (L2 loss + gradient w.r.t. vertex positions of a
+block + light radiance) with ALL three estimators (interior + primary-edge
++ secondary-edge boundary terms).
+
+Headline value: the fused production step (``Integrator.loss_and_grad``,
+integrator/fused.py) — one forward + one adjoint with zero recompute, the
+cost structure of the reference's Dr.Jit tape backward (README.md:102-104).
+Carried alongside for cross-round comparability:
+  * ``interior_only_mrays`` — fused step, interior estimator only,
+  * ``jaxgrad_full_mrays`` — ``jax.grad`` of the ``renderD`` L2 loss
+    (remat/path-replay reverse path; the round-1 measurement style).
 
 Ray accounting per pixel:
   interior:   spp   * (1 + 2*depth)          camera + depth*(shadow+bounce)
   primary:    sppe  * 2 * (1 + 2*depth)      two detached Li per edge lane
   secondary:  sppse * 3                      visibility + opposite + camera
 
-Prints ONE JSON line; headline value is the full-term throughput, the
-interior-only figure (round-1 headline) is carried alongside:
-    {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N,
-     "interior_only_mrays": N, "interior_vs_baseline": N}
-
-``vs_baseline`` is vs. the speed-of-light estimate for this chip (fraction
-of roofline): the reference publishes no numbers (BASELINE.md), so the
-roofline is the only defensible denominator.
+Prints ONE JSON line.  ``vs_baseline`` is vs. the speed-of-light estimate
+for this chip (fraction of roofline): the reference publishes no numbers
+(BASELINE.md), so the roofline is the only defensible denominator.
 """
 
 import json
@@ -26,10 +29,8 @@ import os
 import sys
 import time
 
-# The benchmark is a pure reverse-mode training step: use the custom_vjp
-# path-replay backward (integrator/prb.py) — the recommended production
-# config for jax.grad loops (A/B on v5e: prb 478 ms/step vs chunk-remat
-# 521 ms; see integrator/base.py REMAT_MODE).  Must be set before import.
+# The jax.grad bridge number uses the custom_vjp path-replay backward —
+# the recommended reverse-mode config (integrator/base.py REMAT_MODE).
 os.environ.setdefault("PSDR_REMAT", "prb")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
@@ -48,36 +49,68 @@ DEPTH = 3
 N_ITER = 5
 
 
-def _time_grad(sc, integ, n_iter=N_ITER):
+def _force(tree):
+    return jax.tree_util.tree_map(lambda x: float(x.sum()), tree)
+
+
+def _setup(**kw):
+    sc = make_cbox(width=WIDTH, height=HEIGHT, **kw)
+    sc.configure()
+    integ = psdr.PathTracer(max_depth=DEPTH)
     mesh = sc.meshes[-1]
     em = sc.emitters[0]
-    base_v = mesh.vertex_positions_raw
-    base_r = em.radiance
+    return sc, integ, mesh, em
+
+
+def _time_fn(fn, args_for):
+    # warmup/compile (forced: the remote runtime defers execution until
+    # readback, so block_until_ready alone does not run the program)
+    _force(fn(*args_for(0)))
+    t0 = time.perf_counter()
+    for i in range(N_ITER):
+        _force(fn(*args_for(i + 1)))
+    return (time.perf_counter() - t0) / N_ITER
+
+
+def _time_fused(sc, integ, mesh, em):
+    bv, br = mesh.vertex_positions_raw, em.radiance
+    target = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
+
+    def apply(p):
+        dv, dr = p
+        mesh.vertex_positions_raw = bv + dv
+        em.radiance = br + dr
+
+    def ploss(rows, pix):
+        return jnp.sum(jnp.square(rows - target[pix]), axis=-1)
+
+    fn = jax.jit(
+        lambda p, s: integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
+    )
+    p0 = (jnp.zeros_like(bv), jnp.zeros_like(br))
+    dt = _time_fn(fn, lambda i: (p0, i))
+    # tracing left tracers on the mutable scene objects; restore concrete
+    # leaves before any later transformation reuses this scene
+    mesh.vertex_positions_raw = bv
+    em.radiance = br
+    return dt
+
+
+def _time_jaxgrad(sc, integ, mesh, em):
+    bv, br = mesh.vertex_positions_raw, em.radiance
 
     def loss_fn(dv, dr, seed):
-        mesh.vertex_positions_raw = base_v + dv
-        em.radiance = base_r + dr
+        mesh.vertex_positions_raw = bv + dv
+        em.radiance = br + dr
         img = integ.renderD(sc, 0, seed=seed)
         return jnp.sum(jnp.square(img))
 
-    # One fused program: the renderer chunks lanes in-jit with remat, so the
-    # full-frame gradient fits on chip; the outer jit keeps the traced scene
-    # compile + autodiff on-device (eager dispatch costs ~0.7 s of host
-    # latency per call otherwise).
     grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
-    zeros_v = jnp.zeros_like(base_v)
-    zeros_r = jnp.zeros_like(base_r)
-
-    # warmup/compile (forced: the remote runtime defers execution until
-    # readback, so block_until_ready alone does not run the program)
-    g = grad_fn(zeros_v, zeros_r, jnp.uint32(0))
-    g = jax.tree_util.tree_map(lambda x: float(x.sum()), g)
-
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        g = grad_fn(zeros_v, zeros_r, jnp.uint32(i + 1))
-        g = jax.tree_util.tree_map(lambda x: float(x.sum()), g)  # force
-    return (time.perf_counter() - t0) / n_iter
+    zv, zr = jnp.zeros_like(bv), jnp.zeros_like(br)
+    dt = _time_fn(grad_fn, lambda i: (zv, zr, jnp.uint32(i)))
+    mesh.vertex_positions_raw = bv
+    em.radiance = br
+    return dt
 
 
 def main():
@@ -85,29 +118,30 @@ def main():
     rays_interior = n_pix * SPP * (1 + 2 * DEPTH)
     rays_primary = n_pix * SPPE * 2 * (1 + 2 * DEPTH)
     rays_secondary = n_pix * SPPSE * 3
+    rays_full = rays_interior + rays_primary + rays_secondary
 
     # Speed-of-light estimate: intersection is the dominant unavoidable cost.
     # The cluster-brute kernel does ~F_pad triangle tests per ray at ~48
     # VPU flops each; a v5e VPU sustains ~4e12 f32 flop/s.
     # (BASELINE.json "published" is empty — no reference numbers exist.)
-    sc = make_cbox(width=WIDTH, height=HEIGHT, spp=SPP)
-    sc.configure()
+    sc, integ, mesh, em = _setup(spp=SPP)
     f_pad = 64 * -(-sum(m.num_faces for m in sc.meshes) // 64)
     vpu_flops = 4.0e12
     sol_mrays = vpu_flops / (f_pad * 48.0) / 1e6
 
-    # interior-only (round-1 headline, kept for cross-round comparability)
-    integ = psdr.PathTracer(max_depth=DEPTH)
-    dt_int = _time_grad(sc, integ)
+    # fused step, interior only
+    dt_int = _time_fused(sc, integ, mesh, em)
     mrays_int = rays_interior / dt_int / 1e6
 
-    # full-term README workload
-    sc_full = make_cbox(width=WIDTH, height=HEIGHT, spp=SPP,
-                        sppe=SPPE, sppse=SPPSE)
-    sc_full.configure()
-    integ_full = psdr.PathTracer(max_depth=DEPTH)
-    dt_full = _time_grad(sc_full, integ_full)
-    mrays_full = (rays_interior + rays_primary + rays_secondary) / dt_full / 1e6
+    # fused step, full-term README workload (headline)
+    sc_f, integ_f, mesh_f, em_f = _setup(spp=SPP, sppe=SPPE, sppse=SPPSE)
+    dt_full = _time_fused(sc_f, integ_f, mesh_f, em_f)
+    mrays_full = rays_full / dt_full / 1e6
+
+    # jax.grad bridge (round-1 measurement style), full terms
+    dt_jg = _time_jaxgrad(sc_f, psdr.PathTracer(max_depth=DEPTH),
+                          mesh_f, em_f)
+    mrays_jg = rays_full / dt_jg / 1e6
 
     print(json.dumps({
         "metric": "cbox512_spp32_sppe32_sppse32_depth3_fwdbwd",
@@ -116,6 +150,7 @@ def main():
         "vs_baseline": round(mrays_full / sol_mrays, 4),
         "interior_only_mrays": round(mrays_int, 3),
         "interior_vs_baseline": round(mrays_int / sol_mrays, 4),
+        "jaxgrad_full_mrays": round(mrays_jg, 3),
     }))
 
 

@@ -50,6 +50,22 @@ import os as _os
 
 REMAT_MODE = _os.environ.get("PSDR_REMAT", "chunk")
 
+# Remat policy for every jax.checkpoint in the render path: intermediates
+# tagged checkpoint_name(x, "psdr_saved") — detached intersection payloads
+# (scene.py ray_intersect) and detached edge radiances — are SAVED instead
+# of recomputed.  Without this the backward sweep re-launches every
+# intersection kernel and, in the edge passes, re-runs the two detached
+# full-Li evaluations whose VALUES (delta_l) the boundary gradient needs.
+# Saving them makes those whole subgraphs dead in the remat (DCE'd), at
+# ~13 B/lane per intersection payload.
+CHECKPOINT_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "psdr_saved"
+)
+
+
+def _remat(fn):
+    return jax.checkpoint(fn, policy=CHECKPOINT_POLICY)
+
 # Max sample lanes materialised at once inside one fused program.  Larger
 # frames are processed as an in-jit loop over lane chunks: XLA's fusions
 # degrade (spills) on multi-million-lane graphs, and reverse-mode residuals
@@ -71,7 +87,7 @@ def _chunked_pixel_map(render_chunk, pix, spp: int, diff: bool):
     pix_pad = jnp.concatenate(
         [pix, jnp.zeros((n_pad - n_pix,), pix.dtype)]
     ).reshape(k, max_pix)
-    body = (jax.checkpoint(render_chunk)
+    body = (_remat(render_chunk)
             if diff and REMAT_MODE == "chunk" else render_chunk)
     out = jax.lax.map(body, pix_pad)
     return out.reshape(n_pad, -1)[:n_pix]
@@ -112,7 +128,7 @@ def _chunked_splat_sum(chunk_vals, n_samples: int, n_pix: int,
     )
     # edge chunks always remat unless explicitly disabled: without the
     # checkpoint, the scan stacks every chunk's residuals (OOM at full frame)
-    body = chunk_vals if REMAT_MODE == "none" else jax.checkpoint(chunk_vals)
+    body = chunk_vals if REMAT_MODE == "none" else _remat(chunk_vals)
 
     def scan_body(carry, xs):
         return carry, body(xs[0], xs[1])
@@ -125,6 +141,34 @@ def _chunked_splat_sum(chunk_vals, n_samples: int, n_pix: int,
 
 def _opts_key(opts: RenderOption):
     return (opts.width, opts.height, opts.spp, opts.sppe, opts.sppse)
+
+
+def interior_chunk(integrator, sd, opts, sensor_id: int, seed, spp: int,
+                   diff: bool, pix_chunk):
+    """Render one pixel chunk of the interior estimator -> (m, 3) rows.
+
+    Shared by the remat render path (`_render_interior`) and the fused
+    forward+adjoint step (integrator/fused.py).  The global sample index
+    makes any pixel partition reproduce the full-frame sample set exactly
+    (batch_pix contract, reference psdr.cpp:420-421)."""
+    sensor = sd.sensors[sensor_id]
+    m = pix_chunk.shape[0]
+    sample_pix = jnp.repeat(pix_chunk, spp)
+    lane = sample_pix.astype(jnp.uint32) * jnp.uint32(spp) + jnp.tile(
+        jnp.arange(spp, dtype=jnp.uint32), m
+    )
+    sampler = Sampler(seed + jnp.uint32(STREAM_INTERIOR), lane)
+    x = (sample_pix % opts.width).astype(jnp.float32)
+    y = (sample_pix // opts.width).astype(jnp.float32)
+    base = jnp.stack([x, y], axis=-1)
+    samples = (base + sampler.next_2d()) / jnp.asarray(
+        [opts.width, opts.height], jnp.float32
+    )
+    ray = sensor.sample_primary_ray(samples, diff=diff)
+    active = jnp.ones((m * spp,), bool)
+    value = integrator.Li(sd, sampler, ray, active, diff)
+    value = scrub_nonfinite(value)
+    return interior_average(value, m, spp)
 
 
 class Integrator(Object):
@@ -197,6 +241,17 @@ class Integrator(Object):
                 jax.block_until_ready(out)
         return out
 
+    def loss_and_grad(self, scene: Scene, params, apply_params, pixel_loss,
+                      sensor_id: int = 0, seed: int = -1):
+        """Fused single-pass training step for pixel-local losses:
+        ``(loss, param_grads, image)`` with one forward + one adjoint and
+        zero rematerialization (integrator/fused.py; the TPU answer to the
+        reference's tape backward, README.md:102-104)."""
+        from .fused import loss_and_grad as _fused
+
+        return _fused(self, scene, params, apply_params, pixel_loss,
+                      sensor_id, seed)
+
     # -- machinery -------------------------------------------------------------
     def _get_jit(self, kind: str, opts_key, sensor_id: int, has_pix: bool):
         cache_key = (kind, opts_key, sensor_id, has_pix)
@@ -239,7 +294,6 @@ class Integrator(Object):
     def _render_interior(self, sd, opts, sensor_id, seed, pix_id, diff: bool):
         if not diff:
             sd = jax.lax.stop_gradient(sd)
-        sensor = sd.sensors[sensor_id]
         if pix_id is None:
             n_pix = opts.num_pixels
             pix = jnp.arange(n_pix, dtype=jnp.int32)
@@ -262,25 +316,8 @@ class Integrator(Object):
             )
 
         def render_chunk(pix_chunk):
-            m = pix_chunk.shape[0]
-            sample_pix = jnp.repeat(pix_chunk, spp)
-            # global sample index makes any pixel partition reproduce the
-            # full-frame sample set exactly (batch_pix contract)
-            lane = sample_pix.astype(jnp.uint32) * jnp.uint32(spp) + jnp.tile(
-                jnp.arange(spp, dtype=jnp.uint32), m
-            )
-            sampler = Sampler(seed + jnp.uint32(STREAM_INTERIOR), lane)
-            x = (sample_pix % opts.width).astype(jnp.float32)
-            y = (sample_pix // opts.width).astype(jnp.float32)
-            base = jnp.stack([x, y], axis=-1)
-            samples = (base + sampler.next_2d()) / jnp.asarray(
-                [opts.width, opts.height], jnp.float32
-            )
-            ray = sensor.sample_primary_ray(samples, diff=diff)
-            active = jnp.ones((m * spp,), bool)
-            value = self.Li(sd, sampler, ray, active, diff)
-            value = scrub_nonfinite(value)
-            return interior_average(value, m, spp)
+            return interior_chunk(self, sd, opts, sensor_id, seed, spp, diff,
+                                  pix_chunk)
 
         return _chunked_pixel_map(render_chunk, pix, spp, diff)
 
@@ -334,7 +371,13 @@ class Integrator(Object):
             # is shared across both sides like the reference's sequential Li
             li_n = self.Li(sd_det, sampler, es.ray_n, valid, diff=False)
             li_p = self.Li(sd_det, sampler, es.ray_p, valid, diff=False)
-            delta_l = jax.lax.stop_gradient(li_n - li_p)
+            # The boundary gradient needs delta_l's VALUE only: save it
+            # (12 B/lane) so the remat backward never re-runs the two full
+            # detached Li evaluations (2*(1+2*depth) rays/lane).
+            from jax.ad_checkpoint import checkpoint_name
+            delta_l = checkpoint_name(
+                jax.lax.stop_gradient(li_n - li_p), "psdr_saved"
+            )
             value = es.x_dot_n[..., None] * safe_div(
                 delta_l, es.pdf[..., None]
             )

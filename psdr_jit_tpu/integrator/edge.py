@@ -115,6 +115,15 @@ def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
     sgn = jnp.sign(dot(e, bss.edge2)) * jnp.sign(dot(e, n))
     value0 = value0 * sgn[..., None]
 
+    # Only dot(n, u2) below carries derivatives; value0 and the validity
+    # mask are pure values in the backward.  Save them (13 B/lane) so the
+    # chunk-remat backward drops the three detached intersections, the
+    # receiver BSDF eval and Le entirely (dead once their consumers are
+    # saved) instead of re-running them.
+    from jax.ad_checkpoint import checkpoint_name
+    value0 = checkpoint_name(jax.lax.stop_gradient(value0), "psdr_saved")
+    valid = checkpoint_name(valid, "psdr_saved")
+
     tri_idx = jnp.maximum(_its2.tri_id, 0)
     # differentiable emitter-triangle data, one packed matmul-gather
     rows = gather_rows(

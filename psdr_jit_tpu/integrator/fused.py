@@ -1,0 +1,158 @@
+"""Fused forward+adjoint inverse-rendering step (one pass, zero recompute).
+
+The reference gets its gradient from the Dr.Jit tape: one forward sweep
+records, one backward sweep replays — no rematerialization
+(reference README.md:102-104).  ``jax.grad(renderD)`` on TPU cannot match
+that cost structure: full-frame reverse-AD residuals exceed HBM, so the
+render path remats (``jax.checkpoint``) or path-replays (integrator/prb.py),
+and either way forward shading runs twice.
+
+For PIXEL-LOCAL losses (L2/L1/relative — one term per pixel, the production
+inverse-rendering case) the tape cost structure IS reachable: each interior
+chunk owns a disjoint pixel set, so the loss cotangent for a chunk is
+computable from that chunk's own output.  The fused step scans chunks doing
+
+    forward chunk -> local loss + cotangent -> immediate pullback -> accum
+
+holding ONE chunk's reverse-AD residuals at a time with no recompute at
+all.  The boundary (edge) estimators have exactly-zero primal, so the full
+loss-gradient image is known once the interior scan finishes; each edge
+pass then gets one ``jax.vjp`` whose backward is cheap (detached values are
+checkpoint-policy-saved, base.py CHECKPOINT_POLICY).
+
+Cost: 1x interior forward + 1x adjoint (vs 2x forward + adjoint for
+remat/path-replay).  Works under a single outer ``jax.jit``; exact same
+sample set and estimator values as ``jax.grad`` of ``renderD``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .base import CHUNK_LANES, interior_chunk
+
+
+def _split_float(tree):
+    """Flatten ``tree``; return (float_leaves, rebuild) where rebuild maps
+    updated float leaves back into a cotangent pytree with ``float0`` zeros
+    for integer/bool leaves (what ``jax.vjp`` pullbacks expect)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    is_float = [jnp.issubdtype(l.dtype, jnp.floating) for l in leaves]
+    floats = [l for l, f in zip(leaves, is_float) if f]
+
+    def rebuild(new_floats):
+        it = iter(new_floats)
+        out = [
+            next(it) if f else np.zeros(jnp.shape(l), jax.dtypes.float0)
+            for l, f in zip(leaves, is_float)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return floats, rebuild
+
+
+def _add_float_cotangent(acc, cot):
+    """acc (list of float arrays) += float leaves of cotangent pytree
+    ``cot`` (which may contain float0 leaves for int/bool positions)."""
+    leaves = jax.tree_util.tree_leaves(cot)
+    floats = [
+        l for l in leaves
+        if hasattr(l, "dtype") and l.dtype != jax.dtypes.float0
+    ]
+    return [a + b for a, b in zip(acc, floats)]
+
+
+def fused_loss_grad(integrator, sd, opts, sensor_id: int, seed, pixel_loss):
+    """Returns ``(loss, sd_bar, image)``.
+
+    ``pixel_loss(img_rows (m, 3), pix_ids (m,)) -> (m,)`` per-pixel loss
+    terms; it must be pixel-local (row i may only depend on img_rows[i]).
+    ``sd_bar`` is a cotangent for ``sd`` (float0 at integer leaves), ready
+    for the pullback of whatever produced ``sd``.
+    """
+    spp = opts.spp
+    n_pix = opts.num_pixels
+    seed = jnp.asarray(seed, jnp.uint32)
+    zero_floats, rebuild = _split_float(sd)
+    zero_floats = [jnp.zeros_like(x) for x in zero_floats]
+
+    max_pix = max(CHUNK_LANES // max(spp, 1), 1)
+    k = -(-n_pix // max_pix)
+    n_pad = k * max_pix
+    pix = jnp.arange(n_pad, dtype=jnp.int32) % n_pix  # pad rows repeat px 0
+    pix_chunks = pix.reshape(k, max_pix)
+    row_valid = (jnp.arange(n_pad, dtype=jnp.int32) < n_pix).reshape(
+        k, max_pix
+    )
+
+    def body(carry, xs):
+        acc, loss_acc = carry
+        pix_chunk, valid = xs
+        out, pull = jax.vjp(
+            lambda s: interior_chunk(integrator, s, opts, sensor_id, seed,
+                                     spp, True, pix_chunk),
+            sd,
+        )
+
+        def masked_loss(o):
+            lv = pixel_loss(o, pix_chunk)
+            return jnp.sum(jnp.where(valid, lv, 0.0))
+
+        loss_c, g = jax.value_and_grad(masked_loss)(out)
+        (sdb,) = pull(g)
+        acc = _add_float_cotangent(acc, sdb)
+        return (acc, loss_acc + loss_c), (out, g)
+
+    (acc, loss), (img_pad, g_pad) = jax.lax.scan(
+        body, (zero_floats, jnp.float32(0.0)), (pix_chunks, row_valid)
+    )
+    image = img_pad.reshape(n_pad, 3)[:n_pix]
+    g_img = g_pad.reshape(n_pad, 3)[:n_pix]
+
+    # Boundary terms: primal is exactly zero, so they contribute to the
+    # gradient only — pull the full-frame loss-cotangent image through each
+    # derivative-only edge pass (integrator.cpp:179-198 / path.cpp:274-294).
+    if opts.sppe > 0 and sd.sensors[sensor_id].edge_info is not None:
+        _, pull_e = jax.vjp(
+            lambda s: integrator._render_primary_edges(s, opts, sensor_id,
+                                                       seed), sd
+        )
+        (sdb,) = pull_e(g_img)
+        acc = _add_float_cotangent(acc, sdb)
+    from .base import Integrator as _Base
+    has_se = (type(integrator).render_secondary_edges
+              is not _Base.render_secondary_edges)
+    if opts.sppse > 0 and sd.sec_edge is not None and has_se:
+        _, pull_s = jax.vjp(
+            lambda s: integrator.render_secondary_edges(s, opts, sensor_id,
+                                                        seed), sd
+        )
+        (sdb,) = pull_s(g_img)
+        acc = _add_float_cotangent(acc, sdb)
+
+    return loss, rebuild(acc), image
+
+
+def loss_and_grad(integrator, scene, params, apply_params, pixel_loss,
+                  sensor_id: int = 0, seed: int = -1):
+    """One fused training step: ``(loss, param_grads, image)``.
+
+    ``apply_params(params)`` mutates the python scene objects (same closure
+    pattern as differentiating ``renderD``); gradients flow back through
+    ``scene.configure_data``'s traced compile.  Jittable as a whole:
+    ``jax.jit(lambda p, s: integ.loss_and_grad(scene, p, apply, loss, seed=s))``.
+    """
+    seed, _ = integrator._norm_args(scene, seed, None, None)
+
+    def to_sd(p):
+        apply_params(p)
+        return scene.configure_data(scene._active_sensors)
+
+    sd, pull_cfg = jax.vjp(to_sd, params)
+    loss, sd_bar, image = fused_loss_grad(
+        integrator, sd, scene.opts, sensor_id, jnp.uint32(seed), pixel_loss
+    )
+    (p_bar,) = pull_cfg(sd_bar)
+    return loss, p_bar, image

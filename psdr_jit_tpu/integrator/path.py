@@ -118,7 +118,8 @@ class PathTracer(SecondaryEdgeMixin, Integrator):
             return r, its1, active1, thr
 
         if diff and REMAT_MODE == "bounce":
-            bounce = jax.checkpoint(bounce)
+            from .base import _remat
+            bounce = _remat(bounce)
 
         for _depth in range(self.max_depth):
             r, its, active, throughput = bounce(sd, its, active, throughput)

@@ -149,6 +149,15 @@ class SceneData:
             tri_id, valid, uv_payload, _t = ray_intersect_detached(
                 tri.p0, tri.e1, tri.e2, ray, active, backend=backend
             )
+            # Tag the detached payload so the chunk-remat backward passes
+            # (jax.checkpoint with CHECKPOINT_POLICY, integrator/base.py)
+            # save it instead of re-launching the intersection kernel —
+            # ~13 B/lane buys back one full kernel run per intersection in
+            # every rematerialized backward sweep.
+            from jax.ad_checkpoint import checkpoint_name
+            tri_id = checkpoint_name(tri_id, "psdr_saved")
+            valid = checkpoint_name(valid, "psdr_saved")
+            uv_payload = checkpoint_name(uv_payload, "psdr_saved")
             if tape is not None:
                 tape.append((tri_id, valid,
                              uv_payload[..., 0], uv_payload[..., 1]))
@@ -225,8 +234,12 @@ class SceneData:
     # Per-lane emitter dispatch
     # ------------------------------------------------------------------
     def emitter_slot(self, its: Intersection):
+        # jnp.asarray: the table may arrive as a host constant (jax Literal)
+        # when partial eval lifts param-independent int outputs out of a
+        # surrounding vjp trace; Literal.__getitem__ rejects tracer indices.
+        table = jnp.asarray(self.mesh_emitter_slot)
         return jnp.where(
-            its.valid, self.mesh_emitter_slot[jnp.maximum(its.mesh_id, 0)], -1
+            its.valid, table[jnp.maximum(its.mesh_id, 0)], -1
         )
 
     def is_emitter(self, its: Intersection, active):
@@ -242,8 +255,9 @@ class SceneData:
         return result
 
     def bsdf_slot(self, its: Intersection):
+        table = jnp.asarray(self.mesh_bsdf_slot)  # see emitter_slot
         return jnp.where(
-            its.valid, self.mesh_bsdf_slot[jnp.maximum(its.mesh_id, 0)], -1
+            its.valid, table[jnp.maximum(its.mesh_id, 0)], -1
         )
 
     def eval_bsdf(self, its, wo, active):

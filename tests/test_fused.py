@@ -1,0 +1,124 @@
+"""Fused forward+adjoint step (integrator/fused.py) vs jax.grad of renderD.
+
+The fused step must reproduce the exact sample set and estimator values of
+the remat-based reverse path — same loss, same parameter gradients — while
+running one forward + one adjoint (no recompute).
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import psdr_jit_tpu as psdr
+from scenes import make_cbox
+
+
+def _setup(**kw):
+    sc = make_cbox(width=32, height=32, **kw)
+    sc.configure()
+    integ = psdr.PathTracer(2)
+    mesh = sc.meshes[-1]
+    em = sc.emitters[0]
+    return sc, integ, mesh, em
+
+
+def _ref_loss_grad(sc, integ, mesh, em, target, seed):
+    bv, br = mesh.vertex_positions_raw, em.radiance
+
+    def loss(p):
+        dv, dr = p
+        mesh.vertex_positions_raw = bv + dv
+        em.radiance = br + dr
+        img = integ.renderD(sc, 0, seed=seed)
+        return jnp.sum(jnp.square(img - target))
+
+    p0 = (jnp.zeros_like(bv), jnp.zeros_like(br))
+    return jax.value_and_grad(loss)(p0), p0, bv, br
+
+
+def _fused_loss_grad(sc, integ, mesh, em, target, seed, p0, bv, br):
+    def apply(p):
+        dv, dr = p
+        mesh.vertex_positions_raw = bv + dv
+        em.radiance = br + dr
+
+    def ploss(rows, pix):
+        return jnp.sum(jnp.square(rows - target[pix]), axis=-1)
+
+    return integ.loss_and_grad(sc, p0, apply, ploss, seed=seed)
+
+
+def test_fused_matches_jax_grad_interior():
+    sc, integ, mesh, em = _setup(spp=4)
+    target = jnp.zeros((32 * 32, 3), jnp.float32)
+    (l_ref, g_ref), p0, bv, br = _ref_loss_grad(sc, integ, mesh, em, target, 7)
+    l_f, g_f, img = _fused_loss_grad(sc, integ, mesh, em, target, 7, p0, bv, br)
+    assert abs(float(l_ref) - float(l_f)) <= 1e-3 * max(1.0, abs(float(l_ref)))
+    for r, f in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_f)):
+        r, f = np.asarray(r), np.asarray(f)
+        np.testing.assert_allclose(f, r, rtol=1e-4,
+                                   atol=1e-5 * max(1.0, np.abs(r).max()))
+    # the returned image is renderD's primal (edge terms are derivative-only;
+    # renderC differs at ULP level via the solid- vs path-space formulation)
+    mesh.vertex_positions_raw = bv
+    em.radiance = br
+    img_d = np.asarray(integ.renderD(sc, 0, seed=7))
+    np.testing.assert_allclose(np.asarray(img), img_d, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_matches_jax_grad_full_terms():
+    sc, integ, mesh, em = _setup(spp=4, sppe=4, sppse=4)
+    target = jnp.full((32 * 32, 3), 0.1, jnp.float32)
+    (l_ref, g_ref), p0, bv, br = _ref_loss_grad(sc, integ, mesh, em, target, 3)
+    l_f, g_f, _ = _fused_loss_grad(sc, integ, mesh, em, target, 3, p0, bv, br)
+    assert abs(float(l_ref) - float(l_f)) <= 1e-3 * max(1.0, abs(float(l_ref)))
+    for r, f in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_f)):
+        r, f = np.asarray(r), np.asarray(f)
+        np.testing.assert_allclose(f, r, rtol=1e-4,
+                                   atol=1e-5 * max(1.0, np.abs(r).max()))
+
+
+def test_fused_jittable_and_chunked():
+    """Multiple chunks (chunk_lanes forced small) under an outer jit."""
+    import psdr_jit_tpu.integrator.base as base
+
+    old = base.CHUNK_LANES
+    base.CHUNK_LANES = 512  # 32x32 spp=4 -> 4096 lanes -> 8 chunks
+    try:
+        sc, integ, mesh, em = _setup(spp=4)
+        target = jnp.zeros((32 * 32, 3), jnp.float32)
+        (l_ref, g_ref), p0, bv, br = _ref_loss_grad(
+            sc, integ, mesh, em, target, 11
+        )
+
+        def apply(p):
+            dv, dr = p
+            mesh.vertex_positions_raw = bv + dv
+            em.radiance = br + dr
+
+        def ploss(rows, pix):
+            return jnp.sum(jnp.square(rows - target[pix]), axis=-1)
+
+        fn = jax.jit(
+            lambda p: integ.loss_and_grad(sc, p, apply, ploss, seed=11)[:2]
+        )
+        l_f, g_f = fn(p0)
+        assert abs(float(l_ref) - float(l_f)) <= 1e-3 * max(
+            1.0, abs(float(l_ref))
+        )
+        # chunked accumulation order differs between the fused scan and the
+        # remat transpose; measured f32 reorder noise of jax.grad against
+        # ITSELF across chunk sizes is ~5e-3 of max-abs on this workload —
+        # allow 1e-2 of scale
+        for r, f in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_f)):
+            r, f = np.asarray(r), np.asarray(f)
+            np.testing.assert_allclose(
+                f, r, rtol=0.0, atol=1e-2 * max(1e-3, np.abs(r).max())
+            )
+    finally:
+        base.CHUNK_LANES = old
