@@ -64,26 +64,26 @@ def _add_float_cotangent(acc, cot):
     return [a + b for a, b in zip(acc, floats)]
 
 
-def fused_loss_grad(integrator, sd, opts, sensor_id: int, seed, pixel_loss):
-    """Returns ``(loss, sd_bar, image)``.
+def _interior_scan(integrator, sd, opts, sensor_id: int, seed, pixel_loss,
+                   pix):
+    """Fused forward+adjoint over the pixel rows ``pix`` (n_local,) int32.
 
-    ``pixel_loss(img_rows (m, 3), pix_ids (m,)) -> (m,)`` per-pixel loss
-    terms; it must be pixel-local (row i may only depend on img_rows[i]).
-    ``sd_bar`` is a cotangent for ``sd`` (float0 at integer leaves), ready
-    for the pullback of whatever produced ``sd``.
-    """
+    Returns ``(loss, acc_floats, image (n_local, 3), g (n_local, 3))`` —
+    the local loss, the accumulated float cotangent leaves of ``sd``, the
+    interior image rows and the loss-cotangent rows."""
     spp = opts.spp
-    n_pix = opts.num_pixels
-    seed = jnp.asarray(seed, jnp.uint32)
-    zero_floats, rebuild = _split_float(sd)
+    n_local = pix.shape[0]
+    zero_floats, _ = _split_float(sd)
     zero_floats = [jnp.zeros_like(x) for x in zero_floats]
 
     max_pix = max(CHUNK_LANES // max(spp, 1), 1)
-    k = -(-n_pix // max_pix)
+    k = -(-n_local // max_pix)
     n_pad = k * max_pix
-    pix = jnp.arange(n_pad, dtype=jnp.int32) % n_pix  # pad rows repeat px 0
-    pix_chunks = pix.reshape(k, max_pix)
-    row_valid = (jnp.arange(n_pad, dtype=jnp.int32) < n_pix).reshape(
+    pix_pad = jnp.concatenate(
+        [pix, jnp.zeros((n_pad - n_local,), pix.dtype)]
+    )  # pad rows render pixel 0; masked out of the loss below
+    pix_chunks = pix_pad.reshape(k, max_pix)
+    row_valid = (jnp.arange(n_pad, dtype=jnp.int32) < n_local).reshape(
         k, max_pix
     )
 
@@ -108,16 +108,53 @@ def fused_loss_grad(integrator, sd, opts, sensor_id: int, seed, pixel_loss):
     (acc, loss), (img_pad, g_pad) = jax.lax.scan(
         body, (zero_floats, jnp.float32(0.0)), (pix_chunks, row_valid)
     )
-    image = img_pad.reshape(n_pad, 3)[:n_pix]
-    g_img = g_pad.reshape(n_pad, 3)[:n_pix]
+    return (loss, acc, img_pad.reshape(n_pad, 3)[:n_local],
+            g_pad.reshape(n_pad, 3)[:n_local])
+
+
+def fused_loss_grad(integrator, sd, opts, sensor_id: int, seed, pixel_loss):
+    """Returns ``(loss, sd_bar, image)``.
+
+    ``pixel_loss(img_rows (m, 3), pix_ids (m,)) -> (m,)`` per-pixel loss
+    terms; it must be pixel-local (row i may only depend on img_rows[i]).
+    ``sd_bar`` is a cotangent for ``sd`` (float0 at integer leaves), ready
+    for the pullback of whatever produced ``sd``.
+    """
+    n_pix = opts.num_pixels
+    seed = jnp.asarray(seed, jnp.uint32)
+    _, rebuild = _split_float(sd)
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+    loss, acc, image, g_img = _interior_scan(
+        integrator, sd, opts, sensor_id, seed, pixel_loss, pix
+    )
 
     # Boundary terms: primal is exactly zero, so they contribute to the
     # gradient only — pull the full-frame loss-cotangent image through each
     # derivative-only edge pass (integrator.cpp:179-198 / path.cpp:274-294).
+    acc = _edge_pullbacks(integrator, sd, opts, sensor_id, seed, g_img, acc)
+    return loss, rebuild(acc), image
+
+
+def _edge_pullbacks(integrator, sd, opts, sensor_id: int, seed, g_img, acc,
+                    lane_window=None):
+    """Accumulate the edge-estimator cotangents into ``acc``.
+
+    ``lane_window``: optional ``(device_idx, n_dev)`` — process only this
+    device's 1/n_dev slice of each global edge-sample lane space (the
+    sharded partition of render_impl_sharded, base.py)."""
+    def window(total):
+        if lane_window is None:
+            return {}
+        idx, n_dev = lane_window
+        per = -(-total // n_dev)
+        return {"lane_offset": idx * per, "lane_count": per,
+                "lane_total": total}
+
     if opts.sppe > 0 and sd.sensors[sensor_id].edge_info is not None:
+        kw = window(opts.num_pixels * opts.sppe)
         _, pull_e = jax.vjp(
             lambda s: integrator._render_primary_edges(s, opts, sensor_id,
-                                                       seed), sd
+                                                       seed, **kw), sd
         )
         (sdb,) = pull_e(g_img)
         acc = _add_float_cotangent(acc, sdb)
@@ -125,13 +162,45 @@ def fused_loss_grad(integrator, sd, opts, sensor_id: int, seed, pixel_loss):
     has_se = (type(integrator).render_secondary_edges
               is not _Base.render_secondary_edges)
     if opts.sppse > 0 and sd.sec_edge is not None and has_se:
+        kw = window(opts.num_pixels * opts.sppse)
         _, pull_s = jax.vjp(
             lambda s: integrator.render_secondary_edges(s, opts, sensor_id,
-                                                        seed), sd
+                                                        seed, **kw), sd
         )
         (sdb,) = pull_s(g_img)
         acc = _add_float_cotangent(acc, sdb)
+    return acc
 
+
+def fused_loss_grad_sharded(integrator, sd, opts, sensor_id: int, seed,
+                            pixel_loss, pix_shard, axis: str):
+    """Per-device body of the sharded fused step (inside ``shard_map``).
+
+    ``pix_shard``: this device's CONTIGUOUS slice of the global pixel ids
+    (device-order concatenation must equal the full frame).  The interior
+    term runs on the shard; the loss-cotangent rows are all-gathered into
+    the full-frame cotangent image (edge samples splat to arbitrary
+    pixels); each device pulls back its 1/n_dev window of the edge-sample
+    lanes; float cotangents and the loss are ``psum``'d — the collectives
+    ride ICI (SURVEY.md §2.5).  Exactly the transpose of
+    ``render_impl_sharded``'s partitioning, with zero recompute.
+
+    Returns ``(loss, sd_bar, image_rows)`` — loss/sd_bar replicated,
+    image rows local to the shard.
+    """
+    idx = jax.lax.axis_index(axis)
+    n_dev = jax.lax.axis_size(axis)
+    seed = jnp.asarray(seed, jnp.uint32)
+    _, rebuild = _split_float(sd)
+
+    loss, acc, image, g_local = _interior_scan(
+        integrator, sd, opts, sensor_id, seed, pixel_loss, pix_shard
+    )
+    g_img = jax.lax.all_gather(g_local, axis).reshape(-1, 3)
+    acc = _edge_pullbacks(integrator, sd, opts, sensor_id, seed, g_img, acc,
+                          lane_window=(idx, n_dev))
+    loss = jax.lax.psum(loss, axis)
+    acc = [jax.lax.psum(a, axis) for a in acc]
     return loss, rebuild(acc), image
 
 

@@ -49,6 +49,63 @@ def make_sharded_value_and_grad(loss_fn, mesh: Mesh, axis: str = "pix"):
     return jax.jit(sharded)
 
 
+def make_fused_train_step(scene, integrator, mesh: Mesh, apply_params,
+                          pixel_loss, sensor_id: int = 0, axis: str = "pix"):
+    """Sharded production training step with the fused forward+adjoint pass.
+
+    Combines ``integrator.loss_and_grad``'s cost structure (one forward +
+    one adjoint, zero recompute — integrator/fused.py) with
+    ``render_impl_sharded``'s partitioning: each device renders its
+    contiguous pixel-row shard and pulls back its 1/n_dev window of the
+    edge-sample lanes; the loss-cotangent image is ``all_gather``'d (edge
+    samples splat to arbitrary pixels) and parameter cotangents are
+    ``psum``'d — all collectives ride ICI.
+
+    ``apply_params(params)`` mutates the scene objects (the same closure
+    convention as ``loss_and_grad``); ``pixel_loss(rows (m,3), pix (m,))
+    -> (m,)`` must be pixel-local.  Returns ``step(params, seed) ->
+    (loss, param_grads, image (n_pix, 3))``, jitted over the mesh.
+    """
+    from ..integrator.fused import fused_loss_grad_sharded
+
+    opts = scene.opts
+    n_pix = opts.num_pixels
+    assert n_pix % mesh.devices.size == 0, (
+        "pixel count must divide the device count"
+    )
+    active = scene._active_sensors
+
+    def local_step(params, pix_shard, seed):
+        def to_sd(p):
+            apply_params(p)
+            return scene.configure_data(active)
+
+        sd, pull_cfg = jax.vjp(to_sd, params)
+        loss, sd_bar, image = fused_loss_grad_sharded(
+            integrator, sd, opts, sensor_id, seed, pixel_loss, pix_shard,
+            axis,
+        )
+        (p_bar,) = pull_cfg(sd_bar)
+        return loss, p_bar, image
+
+    sharded = jax.jit(shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P(), P(axis, None)),
+        **_SHARD_MAP_KW,
+    ))
+    pix = jax.device_put(
+        jnp.arange(n_pix, dtype=jnp.int32), NamedSharding(mesh, P(axis))
+    )
+
+    def step(params, seed: int = -1):
+        s, _ = integrator._norm_args(scene, seed, None, None)
+        return sharded(params, pix, jnp.uint32(s))
+
+    return step
+
+
 def train_step_example(scene, integrator, mesh: Mesh, param_get, param_set,
                        target, seed: int = 0, axis: str = "pix"):
     """One sharded loss+grad evaluation against a target image.

@@ -122,3 +122,45 @@ def test_fused_jittable_and_chunked():
             )
     finally:
         base.CHUNK_LANES = old
+
+
+def test_fused_sharded_matches_single_device():
+    """The sharded fused step (shard_map over the 8-device virtual mesh,
+    edge-lane windows + all-gathered cotangent image + psum'd parameter
+    cotangents) must reproduce the single-device fused step."""
+    from psdr_jit_tpu.parallel.mesh import make_device_mesh
+    from psdr_jit_tpu.parallel.shard import make_fused_train_step
+
+    sc, integ, mesh_obj, em = _setup(spp=4, sppe=4, sppse=4)
+    target = jnp.full((32 * 32, 3), 0.1, jnp.float32)
+    bv, br = mesh_obj.vertex_positions_raw, em.radiance
+    p0 = (jnp.zeros_like(bv), jnp.zeros_like(br))
+
+    l_1, g_1, img_1 = _fused_loss_grad(
+        sc, integ, mesh_obj, em, target, 5, p0, bv, br
+    )
+
+    def apply(p):
+        dv, dr = p
+        mesh_obj.vertex_positions_raw = bv + dv
+        em.radiance = br + dr
+
+    def ploss(rows, pix):
+        return jnp.sum(jnp.square(rows - target[pix]), axis=-1)
+
+    dmesh = make_device_mesh(8)
+    step = make_fused_train_step(sc, integ, dmesh, apply, ploss)
+    l_8, g_8, img_8 = step(p0, seed=5)
+
+    assert abs(float(l_1) - float(l_8)) <= 1e-3 * max(1.0, abs(float(l_1)))
+    # same estimator values; only f32 accumulation order differs (per-device
+    # scan + psum vs one global scan)
+    for a, b in zip(jax.tree_util.tree_leaves(g_1),
+                    jax.tree_util.tree_leaves(g_8)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            b, a, rtol=1e-4, atol=2e-5 * max(1.0, np.abs(a).max())
+        )
+    np.testing.assert_allclose(
+        np.asarray(img_8), np.asarray(img_1), rtol=1e-5, atol=1e-6
+    )
