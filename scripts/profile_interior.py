@@ -34,6 +34,9 @@ LOGDIR = "/tmp/psdr_trace"
 
 
 def main():
+    # PROF_MODE: "grad" (jax.grad of renderD; remat/prb reverse path),
+    # "fwd" (renderC forward only), "fused" (loss_and_grad one-pass step).
+    mode = os.environ.get("PROF_MODE", "grad")
     sc = make_cbox(width=WIDTH, height=HEIGHT, spp=SPP, sppe=SPPE, sppse=SPPSE)
     sc.configure()
     integ = psdr.PathTracer(max_depth=DEPTH)
@@ -41,25 +44,52 @@ def main():
     em = sc.emitters[0]
     base_v = mesh.vertex_positions_raw
     base_r = em.radiance
-
-    def loss_fn(dv, dr, seed):
-        mesh.vertex_positions_raw = base_v + dv
-        em.radiance = base_r + dr
-        img = integ.renderD(sc, 0, seed=seed)
-        return jnp.sum(jnp.square(img))
-
-    grad_fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
     zeros_v = jnp.zeros_like(base_v)
     zeros_r = jnp.zeros_like(base_r)
 
+    if mode == "fwd":
+        fn = jax.jit(lambda seed: integ.renderC(sc, 0, seed=seed))
+        args_for = lambda i: (jnp.uint32(i),)  # noqa: E731
+    elif mode == "fused":
+        target = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
+
+        def apply(p):
+            dv, dr = p
+            mesh.vertex_positions_raw = base_v + dv
+            em.radiance = base_r + dr
+
+        def ploss(rows, pix):
+            return jnp.sum(jnp.square(rows - target[pix]), axis=-1)
+
+        fn = jax.jit(
+            lambda p, s: integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
+        )
+        args_for = lambda i: ((zeros_v, zeros_r), jnp.uint32(i))  # noqa: E731
+    else:
+        def loss_fn(dv, dr, seed):
+            mesh.vertex_positions_raw = base_v + dv
+            em.radiance = base_r + dr
+            img = integ.renderD(sc, 0, seed=seed)
+            return jnp.sum(jnp.square(img))
+
+        grad = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+        fn = grad
+        args_for = lambda i: (zeros_v, zeros_r, jnp.uint32(i))  # noqa: E731
+
     # warmup / compile
-    g = grad_fn(zeros_v, zeros_r, jnp.uint32(0))
+    g = fn(*args_for(0))
     g = jax.tree_util.tree_map(lambda x: float(x.sum()), g)
-    print("compiled; tracing...", flush=True)
+    print(f"compiled ({mode}); tracing...", flush=True)
+    t0 = time.perf_counter()
+    for i in range(3):
+        g = fn(*args_for(i + 1))
+        g = jax.tree_util.tree_map(lambda x: float(x.sum()), g)
+    print(f"wall {1e3 * (time.perf_counter() - t0) / 3:.1f} ms/step",
+          flush=True)
 
     jax.profiler.start_trace(LOGDIR)
     for i in range(2):
-        g = grad_fn(zeros_v, zeros_r, jnp.uint32(i + 1))
+        g = fn(*args_for(i + 10))
         g = jax.tree_util.tree_map(lambda x: float(x.sum()), g)
     jax.profiler.stop_trace()
     print("trace captured", flush=True)
