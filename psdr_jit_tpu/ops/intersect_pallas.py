@@ -49,7 +49,12 @@ BVH_MIN_TRIS = 16384       # above this, the sorted-ray block-culled path
 # HBM-latency-bound (1000x collapse), so the cutoff stays conservative.
 SMALL_MAX_TRIS = 512
 R_ROWS_SMALL = 256    # 32768 rays per tile in the small-scene kernel
-CLUSTER_SMALL = 64
+# Cluster granularity: triangle counts pad up to a cluster and culling is
+# per cluster-AABB, so small clusters cut padding AND cull finer at ~25
+# extra VPU ops per slab test.  v5e A/B on cbox renderC depth=3
+# (scripts/cluster_ab.py, 2026-08-17): 64 -> 219.6 ms/step, 32 -> 173.1,
+# 16 -> 172.6, 8 -> 175.3.
+CLUSTER_SMALL = 16
 SUPER_TRIS = 512      # triangles per streamed SMEM super-block (large path)
 
 
