@@ -73,7 +73,7 @@ def _remat(fn):
 # backward memory to one chunk's activations.  Swept on a v5e at cbox
 # 512x512 spp=32 depth=3 fwd+bwd: 128k lanes is the plateau (104 Mrays/s
 # vs 79 at 1M, 65 at 4M — smaller chunks keep working sets near VMEM).
-CHUNK_LANES = 1 << 17
+CHUNK_LANES = int(_os.environ.get("PSDR_CHUNK_LANES", 1 << 17))
 
 
 def _chunked_pixel_map(render_chunk, pix, spp: int, diff: bool):

@@ -31,7 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .base import CHUNK_LANES, interior_chunk
+from . import base as _base
+from .base import interior_chunk
 
 
 def _split_float(tree):
@@ -76,7 +77,7 @@ def _interior_scan(integrator, sd, opts, sensor_id: int, seed, pixel_loss,
     zero_floats, _ = _split_float(sd)
     zero_floats = [jnp.zeros_like(x) for x in zero_floats]
 
-    max_pix = max(CHUNK_LANES // max(spp, 1), 1)
+    max_pix = max(_base.CHUNK_LANES // max(spp, 1), 1)
     k = -(-n_local // max_pix)
     n_pad = k * max_pix
     pix_pad = jnp.concatenate(

@@ -9,9 +9,11 @@ the interior term whose sample->pixel map is affine.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+from jax import custom_derivatives as _cd
 
 
 def splat_add(values, idx, n_pix: int):
@@ -47,6 +49,41 @@ def splat_add_derivative_only(values, idx, n_pix: int):
     return jnp.zeros((n_pix, 3), jnp.float32)
 
 
+# Transpose-gather formulation for the reverse-mode edge pullback.  XLA's
+# automatic transpose of the tangent scatter is a row gather of the adjoint
+# image at 8M+ per-lane pixel ids; each (1, 3) row access reads a whole
+# (8, 128) tile (~34 GB HBM traffic, ~110 ms/pass measured on v5e).  The
+# formulation is selectable for A/B until the fastest is locked in.
+SPLAT_TRANSPOSE = os.environ.get("PSDR_SPLAT_T", "rows")
+
+
+def _gather_ct(ct, idx, n_pix: int):
+    """Gather adjoint rows ``ct[idx]`` with 0.0 for dropped (idx<0) lanes."""
+    safe = jnp.where((idx >= 0) & (idx < n_pix), idx, n_pix)
+    if SPLAT_TRANSPOSE == "planar":
+        # three 1-D gathers from one zero-row-padded planar table
+        ctp = jnp.concatenate([ct, jnp.zeros((1, 3), ct.dtype)])
+        cf = ctp.T.reshape(-1)
+        stride = n_pix + 1
+        return jnp.stack(
+            [cf[safe], cf[safe + stride], cf[safe + 2 * stride]], axis=-1
+        )
+    if SPLAT_TRANSPOSE == "lane":
+        # gather along the 128-lane axis of the transposed table
+        ctp = jnp.concatenate([ct, jnp.zeros((1, 3), ct.dtype)])
+        return jnp.take(ctp.T, safe, axis=1).T
+    return jnp.concatenate([ct, jnp.zeros((1, 3), ct.dtype)])[safe]
+
+
+def _splat_linear(t_values, idx, n_pix: int):
+    """Tangent-rule scatter with an explicitly-controlled transpose."""
+    return _cd.linear_call(
+        lambda r, t: splat_add(t, r, n_pix),
+        lambda r, ct: _gather_ct(ct, r, n_pix),
+        idx, t_values,
+    )
+
+
 @splat_add_derivative_only.defjvp
 def _splat_add_derivative_only_jvp(n_pix, primals, tangents):
     values, idx = primals
@@ -54,7 +91,7 @@ def _splat_add_derivative_only_jvp(n_pix, primals, tangents):
     out = jnp.zeros((n_pix, 3), jnp.float32)
     if type(t_values) is jax.custom_derivatives.SymbolicZero:
         return out, jnp.zeros((n_pix, 3), jnp.float32)
-    return out, splat_add(t_values, idx, n_pix)
+    return out, _splat_linear(t_values, idx, n_pix)
 
 
 def interior_average(values, n_active_pix: int, spp: int):
