@@ -52,9 +52,13 @@ def splat_add_derivative_only(values, idx, n_pix: int):
 # Transpose-gather formulation for the reverse-mode edge pullback.  XLA's
 # automatic transpose of the tangent scatter is a row gather of the adjoint
 # image at 8M+ per-lane pixel ids; each (1, 3) row access reads a whole
-# (8, 128) tile (~34 GB HBM traffic, ~110 ms/pass measured on v5e).  The
-# formulation is selectable for A/B until the fastest is locked in.
-SPLAT_TRANSPOSE = os.environ.get("PSDR_SPLAT_T", "rows")
+# (8, 128) tile (~34 GB HBM traffic, ~110 ms/pass measured on v5e).
+# v5e A/B on the full-term fused step (cbox 512x512 spp/sppe/sppse=32):
+# rows 982 ms/step, planar 1102, lane 1093, rows_bf16 769 — the bf16 table
+# halves every tile read and is the default; the adjoint image only seeds
+# the MC boundary estimators, whose own std dwarfs bf16 rounding (the
+# forward/tangent splat stays f32, so jvp grad images are untouched).
+SPLAT_TRANSPOSE = os.environ.get("PSDR_SPLAT_T", "rows_bf16")
 
 
 def _gather_ct(ct, idx, n_pix: int):
@@ -72,6 +76,14 @@ def _gather_ct(ct, idx, n_pix: int):
         # gather along the 128-lane axis of the transposed table
         ctp = jnp.concatenate([ct, jnp.zeros((1, 3), ct.dtype)])
         return jnp.take(ctp.T, safe, axis=1).T
+    if SPLAT_TRANSPOSE == "rows_bf16":
+        # halve the per-row tile read: (8, 128) bf16 tiles are 2 KB.  The
+        # adjoint image is a loss gradient consumed by MC edge estimators
+        # whose own std is orders of magnitude above bf16 rounding.
+        ctp = jnp.concatenate(
+            [ct.astype(jnp.bfloat16), jnp.zeros((1, 3), jnp.bfloat16)]
+        )
+        return ctp[safe].astype(ct.dtype)
     return jnp.concatenate([ct, jnp.zeros((1, 3), ct.dtype)])[safe]
 
 

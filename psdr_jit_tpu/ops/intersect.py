@@ -27,6 +27,7 @@ path can slot in behind the same interface later.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -173,11 +174,11 @@ def ray_intersect_detached(tri_p0, tri_e1, tri_e2, ray, active=None,
     o2 = o.reshape(-1, 3)
     d2 = d.reshape(-1, 3)
 
-    if backend == "pallas":
-        from .intersect_pallas import ray_intersect_pallas
-
-        tri_id, valid, uv, t = ray_intersect_pallas(p0, e1, e2, o2, d2)
-    elif backend == "auto" and jax.default_backend() == "tpu":
+    if backend == "auto":
+        backend = _os.environ.get("PSDR_INTERSECT", "auto")
+    if backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    ):
         from .intersect_pallas import ray_intersect_pallas
 
         tri_id, valid, uv, t = ray_intersect_pallas(p0, e1, e2, o2, d2)
