@@ -71,9 +71,10 @@ def _remat(fn):
 # degrade (spills) on multi-million-lane graphs, and reverse-mode residuals
 # for a full frame exceed HBM — `jax.checkpoint` around each chunk bounds
 # backward memory to one chunk's activations.  Swept on a v5e at cbox
-# 512x512 spp=32 depth=3 fwd+bwd: 128k lanes is the plateau (104 Mrays/s
-# vs 79 at 1M, 65 at 4M — smaller chunks keep working sets near VMEM).
-CHUNK_LANES = int(_os.environ.get("PSDR_CHUNK_LANES", 1 << 17))
+# 512x512 full-term fused step (2026-08-17, post bf16-transpose): 32k
+# 741.5 ms/step, 64k 736.8, 128k 837.8, 256k 855.1, 1M+ far worse —
+# smaller chunks keep working sets near VMEM; 64k is the plateau.
+CHUNK_LANES = int(_os.environ.get("PSDR_CHUNK_LANES", 1 << 16))
 
 
 def _chunked_pixel_map(render_chunk, pix, spp: int, diff: bool):

@@ -167,18 +167,29 @@ def ray_intersect_detached(tri_p0, tri_e1, tri_e2, ray, active=None,
     finite = jnp.all(jnp.isfinite(o), axis=-1) & jnp.all(jnp.isfinite(d), axis=-1)
     if active is not None:
         finite = finite & active
-    o = jnp.where(finite[..., None], o, 0.0)
-    d = jnp.where(finite[..., None], d, jnp.asarray([0.0, 0.0, 1.0], d.dtype))
+
+    if backend == "auto":
+        backend = _os.environ.get("PSDR_INTERSECT", "auto")
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if not use_pallas:
+        # The brute path's blocked min-reductions would be poisoned by NaN
+        # t values, so corrupt rays are substituted before tracing.  The
+        # Pallas kernel needs no substitution: its hit test is a
+        # conjunction of comparisons, and any NaN/inf coordinate makes at
+        # least one of them false (NaN compares false), so such rays miss
+        # by construction (tested in test_intersect_pallas.py).
+        o = jnp.where(finite[..., None], o, 0.0)
+        d = jnp.where(
+            finite[..., None], d, jnp.asarray([0.0, 0.0, 1.0], d.dtype)
+        )
 
     shape = o.shape[:-1]
     o2 = o.reshape(-1, 3)
     d2 = d.reshape(-1, 3)
 
-    if backend == "auto":
-        backend = _os.environ.get("PSDR_INTERSECT", "auto")
-    if backend == "pallas" or (
-        backend == "auto" and jax.default_backend() == "tpu"
-    ):
+    if use_pallas:
         from .intersect_pallas import ray_intersect_pallas
 
         tri_id, valid, uv, t = ray_intersect_pallas(p0, e1, e2, o2, d2)

@@ -141,3 +141,25 @@ def test_degenerate_and_miss_rays():
     assert tri_id[0] == 0
     assert tri_id[1] == -1 and not bool(valid[1])
     assert tri_id[2] == -1
+
+
+def test_nan_inf_rays_miss_by_construction():
+    """The detached entry point skips ray substitution on the Pallas path:
+    the kernel's conjunctive hit test makes any NaN/inf coordinate miss
+    (ops/intersect.py ray_intersect_detached)."""
+    rng = np.random.default_rng(11)
+    p0 = rng.uniform(-1, 1, (32, 3)).astype(np.float32)
+    e1 = rng.uniform(-1, 1, (32, 3)).astype(np.float32)
+    e2 = rng.uniform(-1, 1, (32, 3)).astype(np.float32)
+    ro = np.zeros((8, 3), np.float32)
+    rd = np.tile(np.asarray([[0, 0, 1.0]], np.float32), (8, 1))
+    ro[1, 0] = np.nan
+    rd[2, 2] = np.nan
+    ro[3, 1] = np.inf
+    rd[4, 0] = -np.inf
+    rd[5] = np.nan
+    tri_id, valid, uv, t = _run_pallas(p0, e1, e2, ro, rd)
+    tri_id = np.asarray(tri_id)
+    for i in (1, 2, 3, 4, 5):
+        assert tri_id[i] == -1 and not bool(valid[i]), i
+    assert np.isfinite(np.asarray(t)[[1, 2, 3, 4, 5]]).all()
