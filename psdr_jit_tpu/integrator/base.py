@@ -14,6 +14,7 @@ updates never retrigger compilation.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional
 
 import jax
@@ -33,6 +34,14 @@ STREAM_INTERIOR = 0
 STREAM_PRIMARY = 1
 STREAM_SECONDARY = 2
 
+# Primary-edge pass: evaluate Li(ray_n)‖Li(ray_p) as ONE double-width
+# batch with common random numbers, vs two sequential calls matching the
+# reference's draw order.  Measured on v5e full-term fused step
+# (2026-08-17): stacked 809 ms/step vs sequential 741 — the double-width
+# body loses more to working-set pressure than halved op count gains
+# (also at 32k chunks: 808.9).  Sequential stays the default.
+_PE_STACK = _os.environ.get("PSDR_PE_STACK", "0") != "0"
+
 # Reverse-AD memory/recompute strategy for the interior bounce loop:
 #   "chunk"  — jax.checkpoint around each lane chunk (recompute the whole
 #              chunk, incl. intersections, in the backward sweep),
@@ -46,8 +55,6 @@ STREAM_SECONDARY = 2
 # stays the default because forward-mode grad images (jax.jvp) cannot go
 # through custom_vjp; reverse-mode production loops should set
 # PSDR_REMAT=prb.
-import os as _os
-
 REMAT_MODE = _os.environ.get("PSDR_REMAT", "chunk")
 
 # Remat policy for every jax.checkpoint in the render path: intermediates
@@ -368,10 +375,30 @@ class Integrator(Object):
             sampler = Sampler(seed + jnp.uint32(STREAM_PRIMARY), lane)
             es = sample_primary_edge(sensor, sampler.next_1d())
             valid = active & (es.idx >= 0)
-            # detached radiance difference across the edge; the sampler stream
-            # is shared across both sides like the reference's sequential Li
-            li_n = self.Li(sd_det, sampler, es.ray_n, valid, diff=False)
-            li_p = self.Li(sd_det, sampler, es.ray_p, valid, diff=False)
+            if _PE_STACK:
+                # ONE double-width Li over ray_n‖ray_p: halves the op count
+                # of the pass's scan body (the tail is op-count-bound, not
+                # flop-bound).  Both sides draw the same per-lane stream —
+                # common random numbers, a variance REDUCTION for the
+                # radiance difference (deviation from the reference's
+                # sequential draws, integrator.cpp:185-186; expectation
+                # unchanged).
+                n = lane.shape[0]
+                s2 = Sampler(seed + jnp.uint32(STREAM_PRIMARY),
+                             jnp.concatenate([lane, lane]))
+                s2.cnt = sampler.cnt
+                ray2 = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b]),
+                    es.ray_n, es.ray_p,
+                )
+                li2 = self.Li(sd_det, s2, ray2,
+                              jnp.concatenate([valid, valid]), diff=False)
+                li_n, li_p = li2[:n], li2[n:]
+            else:
+                # sequential draws, matching the reference's Li(ray_n) then
+                # Li(ray_p) sampler consumption (integrator.cpp:185-186)
+                li_n = self.Li(sd_det, sampler, es.ray_n, valid, diff=False)
+                li_p = self.Li(sd_det, sampler, es.ray_p, valid, diff=False)
             # The boundary gradient needs delta_l's VALUE only: save it
             # (12 B/lane) so the remat backward never re-runs the two full
             # detached Li evaluations (2*(1+2*depth) rays/lane).
