@@ -77,11 +77,16 @@ def _remat(fn):
 # frames are processed as an in-jit loop over lane chunks: XLA's fusions
 # degrade (spills) on multi-million-lane graphs, and reverse-mode residuals
 # for a full frame exceed HBM — `jax.checkpoint` around each chunk bounds
-# backward memory to one chunk's activations.  Swept on a v5e at cbox
-# 512x512 full-term fused step (2026-08-17, post bf16-transpose): 32k
-# 741.5 ms/step, 64k 736.8, 128k 837.8, 256k 855.1, 1M+ far worse —
-# smaller chunks keep working sets near VMEM; 64k is the plateau.
-CHUNK_LANES = int(_os.environ.get("PSDR_CHUNK_LANES", 1 << 16))
+# backward memory to one chunk's activations.  The interior and edge
+# passes have different optima (different scan-body working sets), so each
+# gets its own knob.  v5e full-term fused-step sweep (2026-08-17, post
+# bf16-transpose), (interior, edge) in ms/step: (128k,32k) 713.5,
+# (64k,32k) 719.2, (128k,64k) 732.4, (64k,64k) 736.8, (128k,128k) 837.8,
+# (128k,16k) 854.5 (scan overhead), (256k,32k) 758.7, 1M+ far worse.
+CHUNK_LANES = int(_os.environ.get("PSDR_CHUNK_LANES", 1 << 17))
+EDGE_CHUNK_LANES = int(
+    _os.environ.get("PSDR_EDGE_CHUNK_LANES", 1 << 15)
+)
 
 
 def _chunked_pixel_map(render_chunk, pix, spp: int, diff: bool):
@@ -123,15 +128,15 @@ def _chunked_splat_sum(chunk_vals, n_samples: int, n_pix: int,
     off = jnp.uint32(0) if lane_offset is None else jnp.asarray(
         lane_offset, jnp.uint32
     )
-    if n_samples <= CHUNK_LANES:
+    if n_samples <= EDGE_CHUNK_LANES:
         lanes = off + jnp.arange(n_samples, dtype=jnp.uint32)
         values, idx = chunk_vals(lanes, lanes < jnp.uint32(lane_total))
         return splat_add_derivative_only(values, idx, n_pix)
-    k = -(-n_samples // CHUNK_LANES)
-    n_pad = k * CHUNK_LANES
-    lanes = off + jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, CHUNK_LANES)
+    k = -(-n_samples // EDGE_CHUNK_LANES)
+    n_pad = k * EDGE_CHUNK_LANES
+    lanes = off + jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, EDGE_CHUNK_LANES)
     mask = (lanes < jnp.uint32(lane_total)) & (
-        jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, CHUNK_LANES)
+        jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, EDGE_CHUNK_LANES)
         < jnp.uint32(n_samples)
     )
     # edge chunks always remat unless explicitly disabled: without the

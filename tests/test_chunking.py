@@ -11,8 +11,8 @@ from scenes import make_cbox
 
 
 def _render(chunk_lanes, kind="C", seed=1):
-    old = base.CHUNK_LANES
-    base.CHUNK_LANES = chunk_lanes
+    old = base.CHUNK_LANES, base.EDGE_CHUNK_LANES
+    base.CHUNK_LANES = base.EDGE_CHUNK_LANES = chunk_lanes
     try:
         sc = make_cbox(width=16, height=16, spp=8, sppe=8, sppse=8)
         sc.configure()
@@ -29,7 +29,7 @@ def _render(chunk_lanes, kind="C", seed=1):
         img, dimg = jax.jvp(f, (jnp.float32(0.0),), (jnp.float32(1.0),))
         return np.asarray(img), np.asarray(dimg)
     finally:
-        base.CHUNK_LANES = old
+        base.CHUNK_LANES, base.EDGE_CHUNK_LANES = old
 
 
 def test_chunked_forward_matches_unchunked():
