@@ -156,6 +156,32 @@ def _opts_key(opts: RenderOption):
     return (opts.width, opts.height, opts.spp, opts.sppe, opts.sppse)
 
 
+def interior_lane_setup(width: int, height: int, spp: int, seed, pix_chunk):
+    """Global-sample-index lanes, interior-stream sampler and jittered
+    screen samples for one pixel chunk.
+
+    The global sample index (``pixel_id * spp + s``) is the batch_pix seed
+    contract (reference integrator.cpp:23-30): any pixel partition
+    reproduces the full-frame sample set exactly.  ONE definition, shared
+    by the remat render path (``interior_chunk``) and the path-replay
+    custom_vjp forward (integrator/prb.py) — the prb backward replays the
+    exact sampler schedule of the forward, so these must never diverge.
+    """
+    m = pix_chunk.shape[0]
+    sample_pix = jnp.repeat(pix_chunk, spp)
+    lane = sample_pix.astype(jnp.uint32) * jnp.uint32(spp) + jnp.tile(
+        jnp.arange(spp, dtype=jnp.uint32), m
+    )
+    sampler = Sampler(seed + jnp.uint32(STREAM_INTERIOR), lane)
+    x = (sample_pix % width).astype(jnp.float32)
+    y = (sample_pix // width).astype(jnp.float32)
+    base = jnp.stack([x, y], axis=-1)
+    samples = (base + sampler.next_2d()) / jnp.asarray(
+        [width, height], jnp.float32
+    )
+    return m, sampler, samples
+
+
 def interior_chunk(integrator, sd, opts, sensor_id: int, seed, spp: int,
                    diff: bool, pix_chunk):
     """Render one pixel chunk of the interior estimator -> (m, 3) rows.
@@ -165,17 +191,8 @@ def interior_chunk(integrator, sd, opts, sensor_id: int, seed, spp: int,
     makes any pixel partition reproduce the full-frame sample set exactly
     (batch_pix contract, reference psdr.cpp:420-421)."""
     sensor = sd.sensors[sensor_id]
-    m = pix_chunk.shape[0]
-    sample_pix = jnp.repeat(pix_chunk, spp)
-    lane = sample_pix.astype(jnp.uint32) * jnp.uint32(spp) + jnp.tile(
-        jnp.arange(spp, dtype=jnp.uint32), m
-    )
-    sampler = Sampler(seed + jnp.uint32(STREAM_INTERIOR), lane)
-    x = (sample_pix % opts.width).astype(jnp.float32)
-    y = (sample_pix // opts.width).astype(jnp.float32)
-    base = jnp.stack([x, y], axis=-1)
-    samples = (base + sampler.next_2d()) / jnp.asarray(
-        [opts.width, opts.height], jnp.float32
+    m, sampler, samples = interior_lane_setup(
+        opts.width, opts.height, spp, seed, pix_chunk
     )
     ray = sensor.sample_primary_ray(samples, diff=diff)
     active = jnp.ones((m * spp,), bool)

@@ -87,7 +87,7 @@ def make_prb_chunk(integrator, opts, sensor_id: int, spp: int):
     """Build the custom_vjp per-chunk interior renderer for ``integrator``
     (a PathTracer-shaped integrator: Le at camera hit + max_depth bounces of
     ``nee_contribution`` / ``bsdf_bounce``)."""
-    from .base import STREAM_INTERIOR
+    from .base import interior_lane_setup
     from .path import nee_contribution, bsdf_bounce
 
     width, height = opts.width, opts.height
@@ -95,19 +95,9 @@ def make_prb_chunk(integrator, opts, sensor_id: int, spp: int):
     hide_emitters = integrator.hide_emitters
 
     def lane_setup(seed, pix_chunk):
-        m = pix_chunk.shape[0]
-        sample_pix = jnp.repeat(pix_chunk, spp)
-        lane = sample_pix.astype(jnp.uint32) * jnp.uint32(spp) + jnp.tile(
-            jnp.arange(spp, dtype=jnp.uint32), m
-        )
-        sampler = Sampler(seed + jnp.uint32(STREAM_INTERIOR), lane)
-        x = (sample_pix % width).astype(jnp.float32)
-        y = (sample_pix // width).astype(jnp.float32)
-        base = jnp.stack([x, y], axis=-1)
-        samples = (base + sampler.next_2d()) / jnp.asarray(
-            [width, height], jnp.float32
-        )
-        return m, sampler, samples
+        # shared with base.interior_chunk — the backward replays this exact
+        # sampler schedule, so there must be only one definition
+        return interior_lane_setup(width, height, spp, seed, pix_chunk)
 
     def forward(sd, seed, pix_chunk, tape):
         m, sampler, samples = lane_setup(seed, pix_chunk)

@@ -96,14 +96,22 @@ def _splat_linear(t_values, idx, n_pix: int):
     )
 
 
-@splat_add_derivative_only.defjvp
 def _splat_add_derivative_only_jvp(n_pix, primals, tangents):
     values, idx = primals
     t_values = tangents[0]
     out = jnp.zeros((n_pix, 3), jnp.float32)
     if type(t_values) is jax.custom_derivatives.SymbolicZero:
+        # value-tangent-free differentiation (e.g. only idx depends on the
+        # inputs, which is non-differentiable): skip the lane scatter
         return out, jnp.zeros((n_pix, 3), jnp.float32)
     return out, _splat_linear(t_values, idx, n_pix)
+
+
+# symbolic_zeros so the SymbolicZero fast path above actually fires —
+# without it zero tangents arrive materialized and pay the full scatter
+splat_add_derivative_only.defjvp(
+    _splat_add_derivative_only_jvp, symbolic_zeros=True
+)
 
 
 def interior_average(values, n_active_pix: int, spp: int):

@@ -173,13 +173,18 @@ def ray_intersect_detached(tri_p0, tri_e1, tri_e2, ray, active=None,
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )
-    if not use_pallas:
-        # The brute path's blocked min-reductions would be poisoned by NaN
-        # t values, so corrupt rays are substituted before tracing.  The
-        # Pallas kernel needs no substitution: its hit test is a
-        # conjunction of comparisons, and any NaN/inf coordinate makes at
-        # least one of them false (NaN compares false), so such rays miss
-        # by construction (tested in test_intersect_pallas.py).
+    # The dense Pallas kernels need no ray substitution: their hit test is
+    # a conjunction of comparisons, and any NaN/inf coordinate makes at
+    # least one of them false (NaN compares false), so such rays miss by
+    # construction (tested in test_intersect_pallas.py).  Two paths DO
+    # need scrubbed rays: the brute path (blocked min-reductions are
+    # poisoned by NaN t), and the BVH path taken above BVH_MIN_TRIS (its
+    # tile-level culling aggregates min/max bounds over all rays of a
+    # tile, so one NaN ray would cull every block for 8192 valid rays —
+    # and poison the global sort bounds).
+    from .intersect_pallas import BVH_MIN_TRIS
+
+    if not use_pallas or p0.shape[0] > BVH_MIN_TRIS:
         o = jnp.where(finite[..., None], o, 0.0)
         d = jnp.where(
             finite[..., None], d, jnp.asarray([0.0, 0.0, 1.0], d.dtype)

@@ -71,7 +71,7 @@ def make_fused_train_step(scene, integrator, mesh: Mesh, apply_params,
     opts = scene.opts
     n_pix = opts.num_pixels
     assert n_pix % mesh.devices.size == 0, (
-        "pixel count must divide the device count"
+        "device count must divide the pixel count"
     )
     active = scene._active_sensors
 

@@ -696,6 +696,16 @@ class Scene(Object):
         from ..utils.profiling import log_time
 
         with log_time("Configured", self.opts.log_level > 0):
+            # gather_tri_diff packs integer columns (face_indices, mesh ids)
+            # as f32 — exact only below 2^24 (the packed-gather design
+            # trades this headroom for one matmul-gather per hit).
+            n_verts = sum(int(m.vertex_positions_raw.shape[0])
+                          for m in self.meshes)
+            assert n_verts < (1 << 24), (
+                f"{n_verts} vertices: the packed f32 triangle table is "
+                "exact only below 2^24 vertex indices (scene.py "
+                "gather_tri_diff)"
+            )
             self._active_sensors = active_sensors
             self._tri_perm = self._compute_tri_perm()
             self._data = self.configure_data(active_sensors)
@@ -725,11 +735,15 @@ class Scene(Object):
             cents.append(v[f].mean(axis=1))
         return np.asarray(morton_order(np.concatenate(cents)), np.int32)
 
-    def _cluster_quality(self, perm, cluster: int = 64) -> float:
+    def _cluster_quality(self, perm, cluster: int = None) -> float:
         """Sum of cluster-AABB surface areas under the CURRENT concrete
         transforms for a given triangle permutation — the quantity the
         intersector's two-level culling actually depends on (smaller =
-        tighter clusters = more AABB skips)."""
+        tighter clusters = more AABB skips).  The granularity defaults to
+        the kernel's own CLUSTER_SMALL so the monitor tracks what the
+        culling tests."""
+        if cluster is None:
+            from ..ops.intersect_pallas import CLUSTER_SMALL as cluster
         cents = []
         for m in self.meshes:
             tw = np.asarray(

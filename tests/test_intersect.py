@@ -103,3 +103,37 @@ def test_detached_respects_active_mask():
         Ray(jnp.asarray(ro), jnp.asarray(rd)), active=active,
     )
     assert not np.asarray(valid)[1::2].any()
+
+
+def test_detached_scrubs_rays_for_bvh_scale_scenes(monkeypatch):
+    """Above BVH_MIN_TRIS the Pallas dispatch reaches the BVH path, whose
+    tile-level min/max culling bounds a NaN ray would poison for all 8192
+    rays of its tile — the detached entry point must substitute corrupt
+    rays BEFORE that backend (regression: the dense-kernel NaN shortcut
+    must not extend to the BVH path)."""
+    import psdr_jit_tpu.ops.intersect as inter
+    from psdr_jit_tpu.ops import intersect_pallas as ip
+
+    f = ip.BVH_MIN_TRIS + 8
+    rng = np.random.default_rng(5)
+    p0 = jnp.asarray(rng.uniform(-1, 1, (f, 3)), jnp.float32)
+    e1 = jnp.asarray(rng.uniform(-1, 1, (f, 3)), jnp.float32)
+    e2 = jnp.asarray(rng.uniform(-1, 1, (f, 3)), jnp.float32)
+    ro = np.zeros((16, 3), np.float32)
+    rd = np.tile(np.asarray([[0, 0, 1.0]], np.float32), (16, 1))
+    ro[3] = np.nan
+    rd[7] = np.inf
+
+    seen = {}
+
+    def fake_pallas(p0, e1, e2, o2, d2, interpret=False):
+        seen["o"], seen["d"] = np.asarray(o2), np.asarray(d2)
+        n = o2.shape[0]
+        return (jnp.full((n,), -1, jnp.int32), jnp.zeros((n,), bool),
+                jnp.zeros((n, 2), jnp.float32), jnp.full((n,), 1e30))
+
+    monkeypatch.setattr(ip, "ray_intersect_pallas", fake_pallas)
+    inter.ray_intersect_detached(
+        p0, e1, e2, Ray(jnp.asarray(ro), jnp.asarray(rd)), backend="pallas"
+    )
+    assert np.isfinite(seen["o"]).all() and np.isfinite(seen["d"]).all()
