@@ -74,21 +74,27 @@ def _time_fn(fn, args_for):
 
 def _time_fused(sc, integ, mesh, em):
     bv, br = mesh.vertex_positions_raw, em.radiance
-    target = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
+    # the target is a jit ARGUMENT: a closed-over all-zeros constant gets
+    # constant-sunk by XLA and re-materialized inside every chunk iteration
+    # (~13 ms/step of pure artifact); real training targets are arrays
+    import numpy as _np
+    target = jnp.asarray(
+        _np.random.default_rng(0).random((WIDTH * HEIGHT, 3)), jnp.float32
+    )
 
     def apply(p):
         dv, dr = p
         mesh.vertex_positions_raw = bv + dv
         em.radiance = br + dr
 
-    def ploss(rows, pix):
-        return jnp.sum(jnp.square(rows - target[pix]), axis=-1)
+    def step(p, s, tgt):
+        def ploss(rows, pix):
+            return jnp.sum(jnp.square(rows - tgt[pix]), axis=-1)
+        return integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
 
-    fn = jax.jit(
-        lambda p, s: integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
-    )
+    fn = jax.jit(step)
     p0 = (jnp.zeros_like(bv), jnp.zeros_like(br))
-    dt = _time_fn(fn, lambda i: (p0, i))
+    dt = _time_fn(fn, lambda i: (p0, i, target))
     # tracing left tracers on the mutable scene objects; restore concrete
     # leaves before any later transformation reuses this scene
     mesh.vertex_positions_raw = bv

@@ -31,15 +31,15 @@ def main():
     mesh = sc.meshes[-1]
     em = sc.emitters[0]
     bv, br = mesh.vertex_positions_raw, em.radiance
-    target = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
+    import numpy as _np
+    target = jnp.asarray(
+        _np.random.default_rng(0).random((WIDTH * HEIGHT, 3)), jnp.float32
+    )
 
     def apply(p):
         dv, dr = p
         mesh.vertex_positions_raw = bv + dv
         em.radiance = br + dr
-
-    def ploss(rows, pix):
-        return jnp.sum(jnp.square(rows - target[pix]), axis=-1)
 
     p0 = (jnp.zeros_like(bv), jnp.zeros_like(br))
 
@@ -53,14 +53,20 @@ def main():
 
     for variant in os.environ.get("AB_VARIANTS", "rows,planar,lane").split(","):
         im.SPLAT_TRANSPOSE = variant
-        fn = jax.jit(
-            lambda p, s: integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
-        )
-        force(fn(p0, jnp.uint32(0)))
+
+        # a fresh function object per variant, so jit's cache cannot reuse
+        # the previous variant's executable
+        def step(p, s, tgt):
+            def ploss(rows, pix):
+                return jnp.sum(jnp.square(rows - tgt[pix]), axis=-1)
+            return integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
+
+        fn = jax.jit(step)
+        force(fn(p0, jnp.uint32(0), target))
         print(f"compiled {variant}", flush=True)
         t0 = time.perf_counter()
         for i in range(N_ITER):
-            force(fn(p0, jnp.uint32(i + 1)))
+            force(fn(p0, jnp.uint32(i + 1), target))
         dt = (time.perf_counter() - t0) / N_ITER
         print(f"PSDR_SPLAT_T={variant}  {1e3 * dt:.1f} ms/step  "
               f"{rays / dt / 1e6:.1f} Mrays/s", flush=True)
