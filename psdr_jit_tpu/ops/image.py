@@ -17,9 +17,16 @@ from jax import custom_derivatives as _cd
 
 
 def splat_add(values, idx, n_pix: int):
-    """Scatter-add (N, C) values at (N,) pixel ids into (n_pix, C).
+    """Scatter-add (..., C) values at (...,) pixel ids into (n_pix, C).
 
-    Negative ids are dropped (mode='drop' handles out-of-range).
+    Negative ids are dropped (mode='drop' handles out-of-range).  Leading
+    index dims are arbitrary: the edge passes splat their CHUNKED
+    (k, chunk, 3) value stacks directly — flattening to (N, 3) first hands
+    the reverse-mode transpose gather a 2-D output that XLA lays out
+    T(8,128) with the 3-channel axis on lanes (42x tile padding: separate
+    f32 converts + relayout copies, 15 ms/step measured on the full-term
+    fused step); the stacked 3-D shape keeps the dense
+    lanes-on-chunk-axis layout.
     """
     idx = jnp.where(idx >= 0, idx, n_pix)  # out of range -> dropped
     img = jnp.zeros((n_pix, values.shape[-1]), values.dtype)
@@ -75,7 +82,7 @@ def _gather_ct(ct, idx, n_pix: int):
     if SPLAT_TRANSPOSE == "lane":
         # gather along the 128-lane axis of the transposed table
         ctp = jnp.concatenate([ct, jnp.zeros((1, 3), ct.dtype)])
-        return jnp.take(ctp.T, safe, axis=1).T
+        return jnp.moveaxis(jnp.take(ctp.T, safe, axis=1), 0, -1)
     if SPLAT_TRANSPOSE == "rows_bf16":
         # halve the per-row tile read: (8, 128) bf16 tiles are 2 KB.  The
         # adjoint image is a loss gradient consumed by MC edge estimators
