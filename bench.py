@@ -50,7 +50,15 @@ N_ITER = 5
 
 
 def _force(tree):
-    return jax.tree_util.tree_map(lambda x: float(x.sum()), tree)
+    """Force execution by reading back ONE scalar.
+
+    All outputs (loss + grads) come from ONE XLA program, so executing it
+    computes everything; reading back a single leaf forces execution
+    without paying a ~28 ms tunnel round-trip per extra leaf (measured:
+    694.5 -> 633.8 ms/step).  A real training loop consumes gradients
+    on-device (optimizer update) and reads back only the loss scalar.
+    """
+    return float(jax.tree_util.tree_leaves(tree)[0].sum())
 
 
 def _setup(**kw):
