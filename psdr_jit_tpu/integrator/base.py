@@ -107,7 +107,8 @@ def _chunked_pixel_map(render_chunk, pix, spp: int, diff: bool):
 
 
 def _chunked_splat_sum(chunk_vals, n_samples: int, n_pix: int,
-                       lane_offset=None, lane_total: int = None):
+                       lane_offset=None, lane_total: int = None,
+                       stack_dtype=None):
     """Splat edge-sample chunks into an (n_pix, 3) image.
 
     ``chunk_vals(lane_chunk, active)`` -> ``(values (chunk, 3), idx (chunk,))``
@@ -122,9 +123,25 @@ def _chunked_splat_sum(chunk_vals, n_samples: int, n_pix: int,
     [offset, offset + n_samples) of a global lane space of size
     ``lane_total`` (used to partition edge lanes across devices; the offset
     may be traced, the count must be static).
+
+    ``stack_dtype``: dtype of the stacked value array (None = keep f32).
+    The fused reverse path passes bf16: the values' PRIMAL is ignored
+    (derivative-only splat) and the reverse-mode cotangent is already
+    bf16-rounded by the rows_bf16 adjoint table, so stacking in bf16 is
+    numerically free — it halves the stack's HBM traffic and lets the
+    bf16 ct flow into the backward scan without a standalone 8M-row
+    convert (ops/image._gather_ct).  Never set it on the jvp/forward-mode
+    path: there the stack carries the REAL tangents and would round them.
     """
     if lane_total is None:
         lane_total = n_samples
+    if stack_dtype is not None:
+        inner = chunk_vals
+
+        def chunk_vals(lane, active):  # noqa: F811
+            v, i = inner(lane, active)
+            return v.astype(stack_dtype), i
+
     off = jnp.uint32(0) if lane_offset is None else jnp.asarray(
         lane_offset, jnp.uint32
     )
@@ -216,7 +233,7 @@ class Integrator(Object):
 
     def render_secondary_edges(self, sd, opts, sensor_id, seed,
                                lane_offset=None, lane_count=None,
-                               lane_total=None):
+                               lane_total=None, stack_dtype=None):
         """Return the derivative-only (n_pix, 3) boundary image, or None."""
         return None
 
@@ -389,7 +406,7 @@ class Integrator(Object):
     # primary-edge boundary term (integrator.cpp:179-198)
     def _render_primary_edges(self, sd, opts, sensor_id, seed,
                               lane_offset=None, lane_count=None,
-                              lane_total=None):
+                              lane_total=None, stack_dtype=None):
         sensor = sd.sensors[sensor_id]
         n_samples = (opts.num_pixels * opts.sppe
                      if lane_count is None else lane_count)
@@ -443,4 +460,5 @@ class Integrator(Object):
 
         return _chunked_splat_sum(chunk_vals, n_samples, opts.num_pixels,
                                   lane_offset=lane_offset,
-                                  lane_total=lane_total)
+                                  lane_total=lane_total,
+                                  stack_dtype=stack_dtype)

@@ -192,7 +192,7 @@ class SecondaryEdgeMixin:
 
     def render_secondary_edges(self, sd: SceneData, opts, sensor_id, seed,
                                lane_offset=None, lane_count=None,
-                               lane_total=None):
+                               lane_total=None, stack_dtype=None):
         """path.cpp:274-294; returns the derivative-only (n_pix, 3) image."""
         from .base import STREAM_SECONDARY, _chunked_splat_sum
 
@@ -220,4 +220,5 @@ class SecondaryEdgeMixin:
 
         return _chunked_splat_sum(chunk_vals, n_samples, opts.num_pixels,
                                   lane_offset=lane_offset,
-                                  lane_total=lane_total)
+                                  lane_total=lane_total,
+                                  stack_dtype=stack_dtype)

@@ -143,6 +143,13 @@ def _edge_pullbacks(integrator, sd, opts, sensor_id: int, seed, g_img, acc,
     ``lane_window``: optional ``(device_idx, n_dev)`` — process only this
     device's 1/n_dev slice of each global edge-sample lane space (the
     sharded partition of render_impl_sharded, base.py)."""
+    # reverse-only path: the edge-value stack's primal is ignored and its
+    # cotangent is already bf16-rounded by the rows_bf16 adjoint table, so
+    # stacking in bf16 is numerically free and kills the standalone 8M-row
+    # f32 converts + halves the stack's HBM traffic (ops/image._gather_ct).
+    from ..ops.image import SPLAT_TRANSPOSE
+    stack_dtype = jnp.bfloat16 if SPLAT_TRANSPOSE == "rows_bf16" else None
+
     def window(total):
         if lane_window is None:
             return {}
@@ -153,6 +160,7 @@ def _edge_pullbacks(integrator, sd, opts, sensor_id: int, seed, g_img, acc,
 
     if opts.sppe > 0 and sd.sensors[sensor_id].edge_info is not None:
         kw = window(opts.num_pixels * opts.sppe)
+        kw["stack_dtype"] = stack_dtype
         _, pull_e = jax.vjp(
             lambda s: integrator._render_primary_edges(s, opts, sensor_id,
                                                        seed, **kw), sd
@@ -164,6 +172,7 @@ def _edge_pullbacks(integrator, sd, opts, sensor_id: int, seed, g_img, acc,
               is not _Base.render_secondary_edges)
     if opts.sppse > 0 and sd.sec_edge is not None and has_se:
         kw = window(opts.num_pixels * opts.sppse)
+        kw["stack_dtype"] = stack_dtype
         _, pull_s = jax.vjp(
             lambda s: integrator.render_secondary_edges(s, opts, sensor_id,
                                                         seed, **kw), sd

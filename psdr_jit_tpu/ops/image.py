@@ -68,8 +68,18 @@ def splat_add_derivative_only(values, idx, n_pix: int):
 SPLAT_TRANSPOSE = os.environ.get("PSDR_SPLAT_T", "rows_bf16")
 
 
-def _gather_ct(ct, idx, n_pix: int):
-    """Gather adjoint rows ``ct[idx]`` with 0.0 for dropped (idx<0) lanes."""
+def _gather_ct(ct, idx, n_pix: int, out_dtype=None):
+    """Gather adjoint rows ``ct[idx]`` with 0.0 for dropped (idx<0) lanes.
+
+    ``out_dtype``: dtype of the returned cotangent (the linear input's
+    dtype).  When the edge pass stacks its values in bf16 (the fused
+    reverse path), the rows_bf16 gather returns bf16 DIRECTLY — the
+    standalone 8M-row f32 back-convert (10 ms/pass in the 42x-padded
+    T(8,128) layout) disappears and the upcast fuses into the backward
+    scan body instead.  Numerically identical: the table rounding is the
+    same, and bf16->f32 converts are exact.
+    """
+    out_dtype = ct.dtype if out_dtype is None else out_dtype
     safe = jnp.where((idx >= 0) & (idx < n_pix), idx, n_pix)
     if SPLAT_TRANSPOSE == "planar":
         # three 1-D gathers from one zero-row-padded planar table
@@ -78,11 +88,13 @@ def _gather_ct(ct, idx, n_pix: int):
         stride = n_pix + 1
         return jnp.stack(
             [cf[safe], cf[safe + stride], cf[safe + 2 * stride]], axis=-1
-        )
+        ).astype(out_dtype)
     if SPLAT_TRANSPOSE == "lane":
         # gather along the 128-lane axis of the transposed table
         ctp = jnp.concatenate([ct, jnp.zeros((1, 3), ct.dtype)])
-        return jnp.moveaxis(jnp.take(ctp.T, safe, axis=1), 0, -1)
+        return jnp.moveaxis(jnp.take(ctp.T, safe, axis=1), 0, -1).astype(
+            out_dtype
+        )
     if SPLAT_TRANSPOSE == "rows_bf16":
         # halve the per-row tile read: (8, 128) bf16 tiles are 2 KB.  The
         # adjoint image is a loss gradient consumed by MC edge estimators
@@ -90,15 +102,23 @@ def _gather_ct(ct, idx, n_pix: int):
         ctp = jnp.concatenate(
             [ct.astype(jnp.bfloat16), jnp.zeros((1, 3), jnp.bfloat16)]
         )
-        return ctp[safe].astype(ct.dtype)
-    return jnp.concatenate([ct, jnp.zeros((1, 3), ct.dtype)])[safe]
+        return ctp[safe].astype(out_dtype)
+    return jnp.concatenate([ct, jnp.zeros((1, 3), ct.dtype)])[safe].astype(
+        out_dtype
+    )
 
 
 def _splat_linear(t_values, idx, n_pix: int):
-    """Tangent-rule scatter with an explicitly-controlled transpose."""
+    """Tangent-rule scatter with an explicitly-controlled transpose.
+
+    The tangent stack may arrive bf16 (fused reverse path, see
+    integrator/base._chunked_splat_sum stack_dtype); the image scatter
+    always accumulates in f32, and the transpose hands back a cotangent in
+    the stack's own dtype so no standalone full-lane convert materialises.
+    """
     return _cd.linear_call(
-        lambda r, t: splat_add(t, r, n_pix),
-        lambda r, ct: _gather_ct(ct, r, n_pix),
+        lambda r, t: splat_add(t.astype(jnp.float32), r, n_pix),
+        lambda r, ct: _gather_ct(ct, r, n_pix, out_dtype=t_values.dtype),
         idx, t_values,
     )
 

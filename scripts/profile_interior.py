@@ -104,28 +104,43 @@ def main():
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
 
-    # device lanes: pid names containing 'TPU' / 'xla'; sum durations by
-    # op name prefix
-    pid_names = {}
+    # Only the "XLA Ops" thread lane holds leaf op events; module/step
+    # lanes are container spans that double-count everything inside them.
+    pid_names, tid_names = {}, {}
     for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name":
             pid_names[ev["pid"]] = ev["args"].get("name", "")
+        elif ev.get("name") == "thread_name":
+            tid_names[(ev["pid"], ev["tid"])] = ev["args"].get("name", "")
     cat = defaultdict(float)
+    full = defaultdict(lambda: [0.0, 0])
     total = 0.0
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
         pname = pid_names.get(ev.get("pid"), "")
-        if "TPU" not in pname and "tpu" not in pname:
+        tname = tid_names.get((ev.get("pid"), ev.get("tid")), "")
+        if ("TPU" not in pname and "tpu" not in pname):
+            continue
+        if "XLA Ops" not in tname:
             continue
         name = ev.get("name", "")
         dur = ev.get("dur", 0) / 1e3  # ms
         base = name.split(".")[0].split("(")[0]
         cat[base] += dur
+        rec = full[name]
+        rec[0] += dur
+        rec[1] += 1
         total += dur
-    print(f"\ndevice op time (2 steps), total {total:.1f} ms")
-    for name, ms in sorted(cat.items(), key=lambda kv: -kv[1])[:40]:
+    print(f"\ndevice leaf-op time (2 steps), total {total:.1f} ms")
+    print("-- by category --")
+    for name, ms in sorted(cat.items(), key=lambda kv: -kv[1])[:30]:
         print(f"  {ms:9.2f} ms  {100 * ms / max(total, 1e-9):5.1f}%  {name}")
+    print("-- top individual ops --")
+    for name, (ms, n) in sorted(full.items(), key=lambda kv: -kv[1][0])[:45]:
+        print(f"  {ms:9.2f} ms  x{n:<5d} {100 * ms / max(total, 1e-9):5.1f}%  {name[:90]}")
 
 
 if __name__ == "__main__":
