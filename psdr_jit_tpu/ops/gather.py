@@ -11,27 +11,104 @@ fast path: its transpose is a single MXU matmul into the table.
 falling back to a plain gather (whose backward is one scatter for the whole
 packed table — still far better than one scatter per field).
 
-Precision: HIGHEST throughout.  An asymmetric (DEFAULT, HIGHEST) config —
-the one-hot operand is exact in bf16, so fewer MXU passes suffice — was
-A/B'd on v5e (2026-08-18) at zero measured gain on the full fused step
-(697.6 vs 698.6 ms/step) with slightly worse transpose rounding, so the
-simple symmetric form stays.
+Precision — the exact-bf16x3 formulation.  A plain f32 one-hot matmul at
+``Precision.HIGHEST`` lowers to SIX bf16 MXU passes; with ~5k small gather
+matmuls per training step, pass latency dominates (measured 54.5 ms/step of
+pure pass count on the full fused workload, 687.9 -> 633.4 with DEFAULT).
+A selection matmul does not need generic f32 products: split the f32 table
+into three bf16 parts with non-overlapping mantissas,
+
+    hi = bf16(t);  mid = bf16(t - hi);  lo = bf16(t - hi - mid)
+
+(f32 has a 24-bit mantissa = 3 x 8-bit bf16 mantissas, and each residual
+subtraction is exact in f32, so ``hi + mid + lo == t`` BITWISE).  The parts
+are stacked along ROWS (3F, D) and the one-hot tripled to (N, 3F), so the
+three exact partial products sum inside the MXU's f32 accumulator: one dot,
+one (N, D) f32 output, bitwise-equal to ``matrix[idx]``.  The transpose
+applies the same split to the cotangent columns, so reverse-mode table
+gradients keep full f32 significance too.
+
+v5e A/B on the full fused step (2026-08-18): HIGHEST 687.9 ms/step,
+bf16x3-rows 666.9, bf16x3-cols (widened (N,3D) output + part adds) 692.9,
+lossy single-pass DEFAULT 633.4.  The 33 ms left on the table vs DEFAULT is
+the exactness price (3 mantissa blocks vs 1); the earlier (DEFAULT,
+HIGHEST) precision-tuple experiment changed neither pass structure nor the
+transpose, which is why it measured nothing.
+
+Set ``PSDR_GATHER=highest`` to fall back to the plain 6-pass f32 matmul
+when isolating numerical questions.
 """
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+from jax import custom_derivatives as _cd
 
 ONE_HOT_MAX_ROWS = 1024
 
+_GATHER_MODE = os.environ.get("PSDR_GATHER", "bf16x3")
+
+
+def _split3(m):
+    """Exact 3-way bf16 split along a new trailing concat: hi+mid+lo == m."""
+    hi = m.astype(jnp.bfloat16)
+    r1 = m - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=-1)
+
+
+def _sel3(oh3, matrix):
+    """Exact f32 row selection in one MXU op.
+
+    ``oh3`` is the (N, 3F) bf16 tripled one-hot; the table is split into
+    bf16 parts stacked along ROWS (3F, D), so the three exact partial
+    products sum inside the MXU's f32 accumulator — single (N, D) f32
+    output, no widened intermediate, no part-adds.
+    """
+    f, d = matrix.shape
+    t3 = _split3(matrix).reshape(f, 3, d).swapaxes(0, 1).reshape(3 * f, d)
+    return jax.lax.dot_general(
+        oh3, t3, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _scat3(oh3, ct):
+    """Adjoint of :func:`_sel3`: one-hot^T @ ct, same exact-split trick.
+
+    Splits the (N, D) f32 cotangent into bf16 parts along COLUMNS and
+    contracts the tripled one-hot's lane axis: g3 (3F, D) holds the three
+    partial sums, whose f32 add restores full significance (the tripled
+    blocks of ``oh3`` are identical, so block k of g3 is one-hot^T @
+    part_k).  Partial sums accumulate in f32 inside the MXU.
+    """
+    f = oh3.shape[-1] // 3
+    d = ct.shape[-1]
+    g3 = jax.lax.dot_general(
+        oh3[:, :f], _split3(ct), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (F, 3D): block j = one-hot^T @ part_j
+    return g3[..., :d] + g3[..., d:2 * d] + g3[..., 2 * d:]
+
 
 def gather_rows(matrix, idx, one_hot_max_rows: int = ONE_HOT_MAX_ROWS):
-    f = matrix.shape[0]
-    if f <= one_hot_max_rows:
+    f, d = matrix.shape
+    if f > one_hot_max_rows:
+        return matrix[idx]
+    if _GATHER_MODE == "highest" or matrix.dtype != jnp.float32:
         oh = jax.nn.one_hot(idx, f, dtype=matrix.dtype)
         return jax.lax.dot_general(
             oh, matrix, (((oh.ndim - 1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
         )
-    return matrix[idx]
+    lanes = idx.reshape(-1)
+    # tripled one-hot (N, 3F): block k column k*F+r is (idx == r) — one
+    # compare/select fusion, 0/1 exact in bf16
+    j = jax.lax.iota(jnp.int32, 3 * f) % f
+    oh3 = (lanes[:, None] == j[None, :]).astype(jnp.bfloat16)
+    out = _cd.linear_call(_sel3, _scat3, oh3, matrix)
+    return out.reshape(jnp.shape(idx) + (d,))
