@@ -28,12 +28,17 @@ one (N, D) f32 output, bitwise-equal to ``matrix[idx]``.  The transpose
 applies the same split to the cotangent columns, so reverse-mode table
 gradients keep full f32 significance too.
 
-v5e A/B on the full fused step (2026-08-18): HIGHEST 687.9 ms/step,
-bf16x3-rows 666.9, bf16x3-cols (widened (N,3D) output + part adds) 692.9,
-lossy single-pass DEFAULT 633.4.  The 33 ms left on the table vs DEFAULT is
-the exactness price (3 mantissa blocks vs 1); the earlier (DEFAULT,
-HIGHEST) precision-tuple experiment changed neither pass structure nor the
-transpose, which is why it measured nothing.
+v5e INTERLEAVED same-process A/B on the full fused step (2026-08-18):
+bf16x3-rows 605.7 ms/step mean vs HIGHEST 606-610 steady-state — parity on
+this 64-triangle scene, where gather matmuls are a small slice of the
+step.  (Fresh-process runs scatter over 633-698 ms from machine state
+alone; only interleaved A/Bs are meaningful — see CLAUDE.md.)  bf16x3
+stays the default: one MXU dot instead of six passes scales better with
+triangle count F, and the result is exact.
+
+Domain: |t| must not exceed bf16 max (~3.39e38) or the hi part overflows
+and the row comes back NaN — loud, never silently wrong (scene data is
+scrubbed finite and far below this).
 
 Set ``PSDR_GATHER=highest`` to fall back to the plain 6-pass f32 matmul
 when isolating numerical questions.
@@ -49,7 +54,10 @@ from jax import custom_derivatives as _cd
 
 ONE_HOT_MAX_ROWS = 1024
 
-_GATHER_MODE = os.environ.get("PSDR_GATHER", "bf16x3")
+
+def _gather_mode():
+    # read at trace time so A/B harnesses can flip it between jit compiles
+    return os.environ.get("PSDR_GATHER", "bf16x3")
 
 
 def _split3(m):
@@ -99,7 +107,7 @@ def gather_rows(matrix, idx, one_hot_max_rows: int = ONE_HOT_MAX_ROWS):
     f, d = matrix.shape
     if f > one_hot_max_rows:
         return matrix[idx]
-    if _GATHER_MODE == "highest" or matrix.dtype != jnp.float32:
+    if _gather_mode() == "highest" or matrix.dtype != jnp.float32:
         oh = jax.nn.one_hot(idx, f, dtype=matrix.dtype)
         return jax.lax.dot_general(
             oh, matrix, (((oh.ndim - 1,), (0,)), ((), ())),
