@@ -92,3 +92,103 @@ def make_cbox(width=64, height=64, spp=4, sppe=0, sppse=0,
     sc.add_Mesh(_quads_to_mesh(GREEN_WALL), None, "green", None)
     sc.add_Mesh(_quads_to_mesh(RED_WALL), None, "red", None)
     return sc
+
+
+def _box_quads(cx, cy, cz, sx, sy, sz, ry=0.0):
+    """Axis-aligned box quads centered at (cx,cy,cz), rotated ``ry`` rad
+    about +y.  Outward-facing winding."""
+    hx, hy, hz = sx / 2.0, sy / 2.0, sz / 2.0
+    c, s = np.cos(ry), np.sin(ry)
+
+    def pt(x, y, z):
+        xr = c * x + s * z
+        zr = -s * x + c * z
+        return (cx + xr, cy + y, cz + zr)
+
+    quads = [
+        # +y (top), -y (bottom)
+        [pt(-hx, hy, -hz), pt(-hx, hy, hz), pt(hx, hy, hz), pt(hx, hy, -hz)],
+        [pt(-hx, -hy, -hz), pt(hx, -hy, -hz), pt(hx, -hy, hz),
+         pt(-hx, -hy, hz)],
+        # +x, -x
+        [pt(hx, -hy, -hz), pt(hx, hy, -hz), pt(hx, hy, hz), pt(hx, -hy, hz)],
+        [pt(-hx, -hy, -hz), pt(-hx, -hy, hz), pt(-hx, hy, hz),
+         pt(-hx, hy, -hz)],
+        # +z, -z
+        [pt(-hx, -hy, hz), pt(hx, -hy, hz), pt(hx, hy, hz), pt(-hx, hy, hz)],
+        [pt(-hx, -hy, -hz), pt(-hx, hy, -hz), pt(hx, hy, -hz),
+         pt(hx, -hy, -hz)],
+    ]
+    return quads
+
+
+def make_room(width=64, height=64, spp=4, sppe=0, sppse=0,
+              light_radiance=(30.0, 28.0, 24.0)):
+    """Room-scale scene for BASELINE config #5 (psdr-room style).
+
+    ~12 meshes (walls/floor/ceiling, a table with four legs, three objects,
+    a ceiling light panel), mixed BSDF families (diffuse / microfacet /
+    rough conductor), full edge-term support.  Procedural — no reference
+    assets.  Units: meters; room spans x,z in [0,5], y in [0,3].
+    """
+    sc = psdr.Scene()
+    sc.opts.width = width
+    sc.opts.height = height
+    sc.opts.spp = spp
+    sc.opts.sppe = sppe
+    sc.opts.sppse = sppse
+
+    cam = psdr.PerspectiveCamera(55.0, 1e-4, 1e5)
+    # look from the open (-z) side into the room
+    cam.to_world = np.array(
+        [[1.0, 0, 0, 2.5], [0, 1.0, 0, 1.5], [0, 0, 1.0, -4.2],
+         [0, 0, 0, 1.0]], np.float32
+    )
+    sc.add_Sensor(cam)
+
+    sc.add_BSDF(psdr.DiffuseBSDF([0.0, 0.0, 0.0]), "light")
+    sc.add_BSDF(psdr.DiffuseBSDF([0.72, 0.70, 0.66]), "plaster")
+    sc.add_BSDF(psdr.DiffuseBSDF([0.45, 0.30, 0.18]), "wood_d")
+    sc.add_BSDF(psdr.MicrofacetBSDF(
+        [0.04, 0.04, 0.04], [0.50, 0.33, 0.20], 0.25), "wood")
+    sc.add_BSDF(psdr.RoughConductorBSDF(
+        alpha_u=0.15, eta=[0.2, 0.92, 1.1], k=[3.9, 2.45, 2.14],
+        specular_reflectance=[1.0, 0.78, 0.42]), "brass")
+    sc.add_BSDF(psdr.DiffuseBSDF([0.20, 0.35, 0.70]), "blue")
+    sc.add_BSDF(psdr.DiffuseBSDF([0.75, 0.25, 0.20]), "red")
+
+    light = _quads_to_mesh(
+        [[(2.0, 2.98, 2.0), (3.0, 2.98, 2.0), (3.0, 2.98, 3.0),
+          (2.0, 2.98, 3.0)]]
+    )
+    sc.add_Mesh(light, None, "light", psdr.AreaLight(light_radiance))
+
+    # envelope: floor, ceiling, back wall, left, right (open front)
+    sc.add_Mesh(_quads_to_mesh(
+        [[(0, 0, 0), (0, 0, 5), (5, 0, 5), (5, 0, 0)]]), None, "plaster")
+    sc.add_Mesh(_quads_to_mesh(
+        [[(0, 3, 0), (5, 3, 0), (5, 3, 5), (0, 3, 5)]]), None, "plaster")
+    sc.add_Mesh(_quads_to_mesh(
+        [[(0, 0, 5), (0, 3, 5), (5, 3, 5), (5, 0, 5)]]), None, "plaster")
+    sc.add_Mesh(_quads_to_mesh(
+        [[(0, 0, 0), (0, 3, 0), (0, 3, 5), (0, 0, 5)]]), None, "red")
+    sc.add_Mesh(_quads_to_mesh(
+        [[(5, 0, 0), (5, 0, 5), (5, 3, 5), (5, 3, 0)]]), None, "blue")
+
+    # table: top + 4 legs (microfacet wood)
+    sc.add_Mesh(_quads_to_mesh(_box_quads(2.5, 0.78, 2.5, 1.6, 0.06, 1.0)),
+                None, "wood")
+    for dx, dz in [(-0.7, -0.4), (0.7, -0.4), (-0.7, 0.4), (0.7, 0.4)]:
+        sc.add_Mesh(
+            _quads_to_mesh(_box_quads(2.5 + dx, 0.375, 2.5 + dz,
+                                      0.08, 0.75, 0.08)),
+            None, "wood_d")
+
+    # objects on the table: brass block (rotated), diffuse box, tall prism
+    sc.add_Mesh(_quads_to_mesh(
+        _box_quads(2.15, 0.96, 2.45, 0.3, 0.3, 0.3, ry=0.5)), None, "brass")
+    sc.add_Mesh(_quads_to_mesh(
+        _box_quads(2.95, 0.91, 2.3, 0.22, 0.2, 0.22, ry=-0.3)), None, "red")
+    sc.add_Mesh(_quads_to_mesh(
+        _box_quads(2.6, 1.11, 2.75, 0.16, 0.6, 0.16, ry=0.9)), None, "blue")
+    return sc
