@@ -89,8 +89,18 @@ EDGE_CHUNK_LANES = int(
 )
 
 
-def _chunked_pixel_map(render_chunk, pix, spp: int, diff: bool):
-    """Map a per-pixel-chunk renderer over the pixel set, chunked in-jit."""
+def _chunked_pixel_map(render_chunk, pix, spp: int, checkpoint: bool):
+    """Map a per-pixel-chunk renderer over the pixel set, chunked in-jit.
+
+    ``checkpoint``: wrap each chunk in ``jax.checkpoint`` so a reverse-AD
+    sweep holds one chunk's residuals at a time.  Callers pass False only
+    when the body bounds its own reverse-AD memory (the PRB custom_vjp
+    chunk, or PathTracer's per-bounce remat) or when the primal is never
+    differentiated — NOT merely because some other REMAT_MODE was
+    requested: an integrator that cannot honour the requested mode must
+    still fall back to chunk checkpointing, else a full-frame jax.grad
+    stacks every chunk's residuals (= REMAT_MODE=none, which OOMs HBM).
+    """
     n_pix = pix.shape[0]
     max_pix = max(CHUNK_LANES // max(spp, 1), 1)
     if n_pix <= max_pix:
@@ -100,8 +110,7 @@ def _chunked_pixel_map(render_chunk, pix, spp: int, diff: bool):
     pix_pad = jnp.concatenate(
         [pix, jnp.zeros((n_pad - n_pix,), pix.dtype)]
     ).reshape(k, max_pix)
-    body = (_remat(render_chunk)
-            if diff and REMAT_MODE == "chunk" else render_chunk)
+    body = _remat(render_chunk) if checkpoint else render_chunk
     out = jax.lax.map(body, pix_pad)
     return out.reshape(n_pad, -1)[:n_pix]
 
@@ -362,14 +371,21 @@ class Integrator(Object):
             return _chunked_pixel_map(
                 lambda pix_chunk: prb_chunk(sd, jnp.asarray(seed, jnp.uint32),
                                             pix_chunk),
-                pix, spp, diff,
+                pix, spp, checkpoint=False,  # custom_vjp replays itself
             )
 
         def render_chunk(pix_chunk):
             return interior_chunk(self, sd, opts, sensor_id, seed, spp, diff,
                                   pix_chunk)
 
-        return _chunked_pixel_map(render_chunk, pix, spp, diff)
+        # Integrators that cannot honour the requested REMAT_MODE fall back
+        # to chunk checkpointing: with PSDR_REMAT=prb (the documented
+        # reverse-mode recommendation) a Direct/Collocated/Field renderD
+        # must not silently lose its reverse-AD memory bound.
+        bounce_remat = (REMAT_MODE == "bounce"
+                        and getattr(self, "supports_bounce_remat", False))
+        checkpoint = diff and REMAT_MODE != "none" and not bounce_remat
+        return _chunked_pixel_map(render_chunk, pix, spp, checkpoint)
 
     def render_impl_sharded(self, sd: SceneData, opts: RenderOption,
                             sensor_id: int, seed, pix_shard, axis: str):

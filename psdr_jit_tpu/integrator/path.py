@@ -85,6 +85,7 @@ class PathTracer(SecondaryEdgeMixin, Integrator):
     (path.cpp:45, LoopRecord disabled at psdr.cpp:105)."""
 
     supports_prb = True  # path-replay reverse mode (integrator/prb.py)
+    supports_bounce_remat = True  # Li self-remats per bounce under "bounce"
 
     def __init__(self, max_depth: int = 1, hide_emitters: bool = False):
         assert max_depth >= 0

@@ -191,12 +191,18 @@ def build_fetch_list(visit, t_near=None):
 # 3. Indexed-streaming Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _kernel_indexed(n_blocks: int):
+def _kernel_indexed():
+    from .intersect_pallas import sweep_block
+
     def kernel(fetch_ref, cnt_ref, tri_ref, box_ref,
                ox, oy, oz, dx, dy, dz,
                out_t, out_id, out_u, out_v):
         """tri_ref: (1, 9, SUPER) SMEM block chosen by fetch_ref;
-        box_ref: (1, 6, SUPER//64) SMEM; rays: (TILE_ROWS, 128) VMEM."""
+        box_ref: (1, 6, SUPER//CLUSTER) SMEM; rays: (TILE_ROWS, 128) VMEM.
+
+        The hit test itself is intersect_pallas.sweep_block — shared with
+        the dense dual-path kernels so epsilon/degenerate policy cannot
+        diverge between backends."""
         i = pl.program_id(0)
         k = pl.program_id(1)
 
@@ -211,85 +217,13 @@ def _kernel_indexed(n_blocks: int):
 
         @pl.when(k < cnt_ref[i])
         def _():
-            rox, roy, roz = ox[...], oy[...], oz[...]
-            rdx, rdy, rdz = dx[...], dy[...], dz[...]
-            inv_dx = 1.0 / rdx
-            inv_dy = 1.0 / rdy
-            inv_dz = 1.0 / rdz
-            base = fetch_ref[i, k] * SUPER
-
-            def tri_body(j, carry):
-                bt, bi, bu, bv = carry
-                p0x = tri_ref[0, 0, j]
-                p0y = tri_ref[0, 1, j]
-                p0z = tri_ref[0, 2, j]
-                e1x = tri_ref[0, 3, j]
-                e1y = tri_ref[0, 4, j]
-                e1z = tri_ref[0, 5, j]
-                e2x = tri_ref[0, 6, j]
-                e2y = tri_ref[0, 7, j]
-                e2z = tri_ref[0, 8, j]
-                hx = rdy * e2z - rdz * e2y
-                hy = rdz * e2x - rdx * e2z
-                hz = rdx * e2y - rdy * e2x
-                a = e1x * hx + e1y * hy + e1z * hz
-                f = 1.0 / a  # inf at a=0; masked by the hit test below
-                sx = rox - p0x
-                sy = roy - p0y
-                sz = roz - p0z
-                u = f * (sx * hx + sy * hy + sz * hz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                v = f * (rdx * qx + rdy * qy + rdz * qz)
-                t = f * (e2x * qx + e2y * qy + e2z * qz)
-                hit = (
-                    (jnp.abs(a) > 1e-12)
-                    & (u >= 0.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (t > RAY_EPSILON)
-                    & (t < bt)
-                )
-                bt = jnp.where(hit, t, bt)
-                bi = jnp.where(hit, base + j, bi)
-                bu = jnp.where(hit, u, bu)
-                bv = jnp.where(hit, v, bv)
-                return bt, bi, bu, bv
-
-            def cluster_body(c, carry):
-                lox = box_ref[0, 0, c]
-                loy = box_ref[0, 1, c]
-                loz = box_ref[0, 2, c]
-                hix = box_ref[0, 3, c]
-                hiy = box_ref[0, 4, c]
-                hiz = box_ref[0, 5, c]
-                bt = carry[0]
-                tx0 = (lox - rox) * inv_dx
-                tx1 = (hix - rox) * inv_dx
-                ty0 = (loy - roy) * inv_dy
-                ty1 = (hiy - roy) * inv_dy
-                tz0 = (loz - roz) * inv_dz
-                tz1 = (hiz - roz) * inv_dz
-                tnear = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.minimum(tz0, tz1),
-                )
-                tfar = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.maximum(tz0, tz1),
-                )
-                any_hit = jnp.any((tnear <= tfar) & (tfar > 0.0) & (tnear < bt))
-
-                def run(carry):
-                    lo = c * CLUSTER
-                    return jax.lax.fori_loop(lo, lo + CLUSTER, tri_body, carry)
-
-                return jax.lax.cond(any_hit, run, lambda carry: carry, carry)
-
+            rays = (ox[...], oy[...], oz[...], dx[...], dy[...], dz[...])
             init = (out_t[...], out_id[...], out_u[...], out_v[...])
-            bt, bi, bu, bv = jax.lax.fori_loop(
-                0, SUPER // CLUSTER, cluster_body, init
+            bt, bi, bu, bv = sweep_block(
+                lambda ch, j: tri_ref[0, ch, j],
+                lambda ch, c: box_ref[0, ch, c],
+                rays, fetch_ref[i, k] * SUPER, CLUSTER, SUPER // CLUSTER,
+                init,
             )
             out_t[...] = bt
             out_id[...] = bi
@@ -326,7 +260,7 @@ def _call_indexed(tri_s, boxes_s, fetch, counts, ray_comps, interpret):
         out_specs=[ray_spec] * 4,
     )
     out = pl.pallas_call(
-        _kernel_indexed(n_blocks),
+        _kernel_indexed(),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
@@ -370,11 +304,12 @@ def ray_intersect_bvh(p0, e1, e2, ray_o, ray_d,
     n_pad = -(-n // tile) * tile
     if n_pad != n:
         pad = n_pad - n
-        ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
-        ray_d = jnp.concatenate(
-            [ray_d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], ray_d.dtype),
-                             (pad, 1))]
-        )
+        # pad by REPLICATING the last real ray: a (0,0,0)-origin pad would
+        # be folded into sort_rays' global origin extent (collapsing the
+        # 10-bit Morton quantization for scenes far from the origin) and
+        # would hand its tile a huge origin AABB that defeats block culling
+        ray_o = jnp.concatenate([ray_o, jnp.tile(ray_o[-1:], (pad, 1))])
+        ray_d = jnp.concatenate([ray_d, jnp.tile(ray_d[-1:], (pad, 1))])
 
     if sort:
         perm, inv_perm = sort_rays(ray_o, ray_d)

@@ -58,94 +58,113 @@ CLUSTER_SMALL = 16
 SUPER_TRIS = 512      # triangles per streamed SMEM super-block (large path)
 
 
+def sweep_block(tri_at, box_at, rays, base, cluster: int, n_clusters: int,
+                init):
+    """Cluster-culled Möller-Trumbore closest-hit sweep over ONE SMEM
+    triangle block — THE hit test (utils.h:83-93 epsilon/tie policy),
+    shared by the small-scene kernel, the streamed super-block kernel and
+    the BVH indexed-streaming kernel (ops/bvh.py) so a fix to the
+    epsilon/degenerate handling can never diverge between backends.
+
+    ``tri_at(ch, j)`` / ``box_at(ch, c)``: SMEM scalar accessors (the
+    kernels stage their scalars in different block layouts); ``rays``:
+    (rox, roy, roz, rdx, rdy, rdz) VMEM tiles; ``base``: global id of the
+    block's first triangle; ``init``: (t, id, u, v) running carry.
+    Returns the updated carry.
+    """
+    rox, roy, roz, rdx, rdy, rdz = rays
+    inv_dx = 1.0 / rdx
+    inv_dy = 1.0 / rdy
+    inv_dz = 1.0 / rdz
+
+    def tri_body(j, carry):
+        bt, bi, bu, bv = carry
+        p0x = tri_at(0, j)
+        p0y = tri_at(1, j)
+        p0z = tri_at(2, j)
+        e1x = tri_at(3, j)
+        e1y = tri_at(4, j)
+        e1z = tri_at(5, j)
+        e2x = tri_at(6, j)
+        e2y = tri_at(7, j)
+        e2z = tri_at(8, j)
+        hx = rdy * e2z - rdz * e2y
+        hy = rdz * e2x - rdx * e2z
+        hz = rdx * e2y - rdy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = 1.0 / a  # inf at a=0; masked by the hit test below
+        sx = rox - p0x
+        sy = roy - p0y
+        sz = roz - p0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (rdx * qx + rdy * qy + rdz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        hit = (
+            (jnp.abs(a) > 1e-12)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > RAY_EPSILON)
+            & (t < bt)
+        )
+        bt = jnp.where(hit, t, bt)
+        bi = jnp.where(hit, base + j, bi)
+        bu = jnp.where(hit, u, bu)
+        bv = jnp.where(hit, v, bv)
+        return bt, bi, bu, bv
+
+    def cluster_body(c, carry):
+        lox = box_at(0, c)
+        loy = box_at(1, c)
+        loz = box_at(2, c)
+        hix = box_at(3, c)
+        hiy = box_at(4, c)
+        hiz = box_at(5, c)
+        bt = carry[0]
+        tx0 = (lox - rox) * inv_dx
+        tx1 = (hix - rox) * inv_dx
+        ty0 = (loy - roy) * inv_dy
+        ty1 = (hiy - roy) * inv_dy
+        tz0 = (loz - roz) * inv_dz
+        tz1 = (hiz - roz) * inv_dz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        any_hit = jnp.any((tnear <= tfar) & (tfar > 0.0) & (tnear < bt))
+
+        def run(carry):
+            lo = c * cluster
+            return jax.lax.fori_loop(lo, lo + cluster, tri_body, carry)
+
+        return jax.lax.cond(any_hit, run, lambda carry: carry, carry)
+
+    return jax.lax.fori_loop(0, n_clusters, cluster_body, init)
+
+
 def _kernel_small(f_pad: int, n_clusters: int):
     def kernel(tri_ref, box_ref, ox, oy, oz, dx, dy, dz,
                out_t, out_id, out_u, out_v):
         """tri_ref: (9, f_pad) SMEM; box_ref: (6, n_clusters) SMEM."""
-        rox, roy, roz = ox[...], oy[...], oz[...]
-        rdx, rdy, rdz = dx[...], dy[...], dz[...]
-        inv_dx = 1.0 / rdx
-        inv_dy = 1.0 / rdy
-        inv_dz = 1.0 / rdz
-
-        shape = rox.shape
+        rays = (ox[...], oy[...], oz[...], dx[...], dy[...], dz[...])
+        shape = rays[0].shape
         init = (
             jnp.full(shape, _INF, jnp.float32),
             jnp.full(shape, -1, jnp.int32),
             jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.float32),
         )
-
-        def tri_body(j, carry):
-            bt, bi, bu, bv = carry
-            p0x = tri_ref[0, j]
-            p0y = tri_ref[1, j]
-            p0z = tri_ref[2, j]
-            e1x = tri_ref[3, j]
-            e1y = tri_ref[4, j]
-            e1z = tri_ref[5, j]
-            e2x = tri_ref[6, j]
-            e2y = tri_ref[7, j]
-            e2z = tri_ref[8, j]
-            hx = rdy * e2z - rdz * e2y
-            hy = rdz * e2x - rdx * e2z
-            hz = rdx * e2y - rdy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / a  # inf at a=0; masked by the hit test below
-            sx = rox - p0x
-            sy = roy - p0y
-            sz = roz - p0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (rdx * qx + rdy * qy + rdz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            hit = (
-                (jnp.abs(a) > 1e-12)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > RAY_EPSILON)
-                & (t < bt)
-            )
-            bt = jnp.where(hit, t, bt)
-            bi = jnp.where(hit, j, bi)
-            bu = jnp.where(hit, u, bu)
-            bv = jnp.where(hit, v, bv)
-            return bt, bi, bu, bv
-
-        def cluster_body(c, carry):
-            lox = box_ref[0, c]
-            loy = box_ref[1, c]
-            loz = box_ref[2, c]
-            hix = box_ref[3, c]
-            hiy = box_ref[4, c]
-            hiz = box_ref[5, c]
-            bt = carry[0]
-            tx0 = (lox - rox) * inv_dx
-            tx1 = (hix - rox) * inv_dx
-            ty0 = (loy - roy) * inv_dy
-            ty1 = (hiy - roy) * inv_dy
-            tz0 = (loz - roz) * inv_dz
-            tz1 = (hiz - roz) * inv_dz
-            tnear = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.minimum(tz0, tz1),
-            )
-            tfar = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.maximum(tz0, tz1),
-            )
-            any_hit = jnp.any((tnear <= tfar) & (tfar > 0.0) & (tnear < bt))
-
-            def run(carry):
-                lo = c * CLUSTER_SMALL
-                return jax.lax.fori_loop(lo, lo + CLUSTER_SMALL, tri_body, carry)
-
-            return jax.lax.cond(any_hit, run, lambda carry: carry, carry)
-
-        bt, bi, bu, bv = jax.lax.fori_loop(0, n_clusters, cluster_body, init)
+        bt, bi, bu, bv = sweep_block(
+            lambda ch, j: tri_ref[ch, j], lambda ch, c: box_ref[ch, c],
+            rays, 0, CLUSTER_SMALL, n_clusters, init,
+        )
         out_t[...] = bt
         out_id[...] = jnp.where(bt < _INF, bi, -1)
         out_u[...] = bu
@@ -164,14 +183,10 @@ def _kernel_super(n_super: int):
 
     def kernel(tri_ref, box_ref, ox, oy, oz, dx, dy, dz,
                out_t, out_id, out_u, out_v):
-        """tri_ref: (1, 9, SUPER) SMEM; box_ref: (1, 6, SUPER//64) SMEM."""
+        """tri_ref: (1, 9, SUPER) SMEM; box_ref: (1, 6, SUPER//16) SMEM."""
         j_super = pl.program_id(1)
-        rox, roy, roz = ox[...], oy[...], oz[...]
-        rdx, rdy, rdz = dx[...], dy[...], dz[...]
-        inv_dx = 1.0 / rdx
-        inv_dy = 1.0 / rdy
-        inv_dz = 1.0 / rdz
-        shape = rox.shape
+        rays = (ox[...], oy[...], oz[...], dx[...], dy[...], dz[...])
+        shape = rays[0].shape
 
         @pl.when(j_super == 0)
         def _():
@@ -180,80 +195,11 @@ def _kernel_super(n_super: int):
             out_u[...] = jnp.zeros(shape, jnp.float32)
             out_v[...] = jnp.zeros(shape, jnp.float32)
 
-        base = j_super * SUPER_TRIS
-
-        def tri_body(j, carry):
-            bt, bi, bu, bv = carry
-            p0x = tri_ref[0, 0, j]
-            p0y = tri_ref[0, 1, j]
-            p0z = tri_ref[0, 2, j]
-            e1x = tri_ref[0, 3, j]
-            e1y = tri_ref[0, 4, j]
-            e1z = tri_ref[0, 5, j]
-            e2x = tri_ref[0, 6, j]
-            e2y = tri_ref[0, 7, j]
-            e2z = tri_ref[0, 8, j]
-            hx = rdy * e2z - rdz * e2y
-            hy = rdz * e2x - rdx * e2z
-            hz = rdx * e2y - rdy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / a  # inf at a=0; masked by the hit test below
-            sx = rox - p0x
-            sy = roy - p0y
-            sz = roz - p0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (rdx * qx + rdy * qy + rdz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            hit = (
-                (jnp.abs(a) > 1e-12)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > RAY_EPSILON)
-                & (t < bt)
-            )
-            bt = jnp.where(hit, t, bt)
-            bi = jnp.where(hit, base + j, bi)
-            bu = jnp.where(hit, u, bu)
-            bv = jnp.where(hit, v, bv)
-            return bt, bi, bu, bv
-
-        def cluster_body(c, carry):
-            lox = box_ref[0, 0, c]
-            loy = box_ref[0, 1, c]
-            loz = box_ref[0, 2, c]
-            hix = box_ref[0, 3, c]
-            hiy = box_ref[0, 4, c]
-            hiz = box_ref[0, 5, c]
-            bt = carry[0]
-            tx0 = (lox - rox) * inv_dx
-            tx1 = (hix - rox) * inv_dx
-            ty0 = (loy - roy) * inv_dy
-            ty1 = (hiy - roy) * inv_dy
-            tz0 = (loz - roz) * inv_dz
-            tz1 = (hiz - roz) * inv_dz
-            tnear = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.minimum(tz0, tz1),
-            )
-            tfar = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.maximum(tz0, tz1),
-            )
-            any_hit = jnp.any((tnear <= tfar) & (tfar > 0.0) & (tnear < bt))
-
-            def run(carry):
-                lo = c * CLUSTER_SMALL
-                return jax.lax.fori_loop(lo, lo + CLUSTER_SMALL, tri_body, carry)
-
-            return jax.lax.cond(any_hit, run, lambda carry: carry, carry)
-
         init = (out_t[...], out_id[...], out_u[...], out_v[...])
-        bt, bi, bu, bv = jax.lax.fori_loop(
-            0, SUPER_TRIS // CLUSTER_SMALL, cluster_body, init
+        bt, bi, bu, bv = sweep_block(
+            lambda ch, j: tri_ref[0, ch, j], lambda ch, c: box_ref[0, ch, c],
+            rays, j_super * SUPER_TRIS, CLUSTER_SMALL,
+            SUPER_TRIS // CLUSTER_SMALL, init,
         )
         out_t[...] = bt
         out_id[...] = bi

@@ -88,20 +88,30 @@ def make_fused_train_step(scene, integrator, mesh: Mesh, apply_params,
         (p_bar,) = pull_cfg(sd_bar)
         return loss, p_bar, image
 
-    sharded = jax.jit(shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P()),
-        out_specs=(P(), P(), P(axis, None)),
-        **_SHARD_MAP_KW,
-    ))
+    def _make_sharded():
+        return jax.jit(shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P()),
+            out_specs=(P(), P(), P(axis, None)),
+            **_SHARD_MAP_KW,
+        ))
+
+    # keyed on the scene's Morton-permutation version: refresh_tri_perm
+    # bakes a new static triangle ordering, which a cached trace would
+    # silently keep using (Scene.refresh_tri_perm docstring)
+    cache = {}
     pix = jax.device_put(
         jnp.arange(n_pix, dtype=jnp.int32), NamedSharding(mesh, P(axis))
     )
 
     def step(params, seed: int = -1):
+        v = getattr(scene, "_perm_version", 0)
+        if v not in cache:
+            cache.clear()
+            cache[v] = _make_sharded()
         s, _ = integrator._norm_args(scene, seed, None, None)
-        return sharded(params, pix, jnp.uint32(s))
+        return cache[v](params, pix, jnp.uint32(s))
 
     return step
 

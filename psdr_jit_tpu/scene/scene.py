@@ -713,6 +713,21 @@ class Scene(Object):
                 jax.block_until_ready(jax.tree_util.tree_leaves(self._data))
         return self._data
 
+    def _world_tri_centroids(self):
+        """Per-face world-space centroids under the CURRENT concrete
+        transforms (host-side numpy).  Single definition shared by the
+        Morton-ordering builder and the staleness monitor so the two can
+        never score different geometry."""
+        cents = []
+        for m in self.meshes:
+            tw = np.asarray(
+                m.to_world_left @ m.to_world_raw @ m.to_world_right
+            )
+            v = np.asarray(m.vertex_positions_raw) @ tw[:3, :3].T + tw[:3, 3]
+            f = np.asarray(m.face_indices)
+            cents.append(v[f].mean(axis=1))
+        return np.concatenate(cents)
+
     def _compute_tri_perm(self):
         """Morton permutation of all user-mesh faces (host-side, static).
 
@@ -725,15 +740,9 @@ class Scene(Object):
             return None
         from ..native import morton_order
 
-        cents = []
-        for m in self.meshes:
-            tw = np.asarray(
-                m.to_world_left @ m.to_world_raw @ m.to_world_right
-            )
-            v = np.asarray(m.vertex_positions_raw) @ tw[:3, :3].T + tw[:3, 3]
-            f = np.asarray(m.face_indices)
-            cents.append(v[f].mean(axis=1))
-        return np.asarray(morton_order(np.concatenate(cents)), np.int32)
+        return np.asarray(
+            morton_order(self._world_tri_centroids()), np.int32
+        )
 
     def _cluster_quality(self, perm, cluster: int = None) -> float:
         """Sum of cluster-AABB surface areas under the CURRENT concrete
@@ -744,15 +753,7 @@ class Scene(Object):
         culling tests."""
         if cluster is None:
             from ..ops.intersect_pallas import CLUSTER_SMALL as cluster
-        cents = []
-        for m in self.meshes:
-            tw = np.asarray(
-                m.to_world_left @ m.to_world_raw @ m.to_world_right
-            )
-            v = np.asarray(m.vertex_positions_raw) @ tw[:3, :3].T + tw[:3, 3]
-            f = np.asarray(m.face_indices)
-            cents.append(v[f].mean(axis=1))
-        c = np.concatenate(cents)[np.asarray(perm)]
+        c = self._world_tri_centroids()[np.asarray(perm)]
         n_pad = -(-c.shape[0] // cluster) * cluster
         if n_pad != c.shape[0]:
             c = np.concatenate([c, np.tile(c[-1:], (n_pad - c.shape[0], 1))])
@@ -781,14 +782,23 @@ class Scene(Object):
         ``threshold`` (see :meth:`tri_perm_staleness`).  Call periodically
         from optimization loops that move geometry a lot without calling
         ``configure()``; returns True when the permutation was replaced.
-        The permutation is a *static* value, so replacing it retriggers one
-        XLA compile of the render program."""
+
+        Where the refresh takes effect: ``renderC``/``renderD`` build the
+        scene data EAGERLY per call, so they pick the new ordering up
+        immediately (it flows in as argument data — no recompile).
+        ``parallel.make_fused_train_step`` rebuilds its jitted step when
+        ``_perm_version`` changes.  A USER-jitted closure over this scene
+        (e.g. ``jax.jit`` around ``loss_and_grad``), however, baked the old
+        permutation in as a constant at trace time and keeps it until the
+        closure is re-created — re-make your jitted step after a True
+        return."""
         if getattr(self, "_tri_perm", None) is None:
             return False
         if self.tri_perm_staleness() <= threshold:
             return False
         self._tri_perm = self._compute_tri_perm()
         self._data = None  # cached traced data baked the old ordering
+        self._perm_version = getattr(self, "_perm_version", 0) + 1
         return True
 
     @property

@@ -104,3 +104,61 @@ def test_prb_depth0():
         assert np.isfinite(g).all() and (g > 0).any()
     finally:
         base_mod.REMAT_MODE = old
+
+
+def test_non_prb_integrator_keeps_chunk_checkpoint_under_prb_mode():
+    """PSDR_REMAT=prb with an integrator that lacks path-replay support
+    (Direct) must fall back to chunk checkpointing — same gradients as
+    chunk mode, and the reverse pass must not stack per-chunk residuals
+    (regression for the silent REMAT_MODE=none fallback)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import psdr_jit_tpu as psdr
+    import psdr_jit_tpu.integrator.base as base_mod
+    from scenes import make_cbox
+
+    sc = make_cbox(width=16, height=16, spp=2)
+    sc.configure()
+    em = sc.emitters[0]
+    base_r = em.radiance
+
+    def make_loss():
+        # fresh integrator per mode: the jit/trace caches key on the
+        # function identity, so a reused instance would replay the jaxpr
+        # traced under the previous REMAT_MODE
+        integ = psdr.Direct(2)
+
+        def loss_fn(dr):
+            em.radiance = base_r + dr
+            img = integ.renderD(sc, 0, seed=4)
+            return jnp.sum(jnp.square(img))
+        return loss_fn
+
+    old_mode = base_mod.REMAT_MODE
+    old_chunks = base_mod.CHUNK_LANES
+    try:
+        base_mod.CHUNK_LANES = 128  # force several chunks at 16x16 spp=2
+        base_mod.REMAT_MODE = "chunk"
+        g_chunk = jax.grad(make_loss())(jnp.zeros_like(base_r))
+        base_mod.REMAT_MODE = "prb"
+        # spy: the chunk body must still be wrapped in jax.checkpoint
+        calls = []
+        real_remat = base_mod._remat
+
+        def spy(fn):
+            calls.append(fn)
+            return real_remat(fn)
+
+        base_mod._remat = spy
+        try:
+            g_prb = jax.grad(make_loss())(jnp.zeros_like(base_r))
+        finally:
+            base_mod._remat = real_remat
+        assert calls, "chunk checkpoint missing under PSDR_REMAT=prb fallback"
+    finally:
+        base_mod.REMAT_MODE = old_mode
+        base_mod.CHUNK_LANES = old_chunks
+        em.radiance = base_r
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_prb),
+                               rtol=1e-6)
