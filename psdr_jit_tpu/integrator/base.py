@@ -83,7 +83,7 @@ def _remat(fn):
 # bf16-transpose), (interior, edge) in ms/step: (128k,32k) 713.5,
 # (64k,32k) 719.2, (128k,64k) 732.4, (64k,64k) 736.8, (128k,128k) 837.8,
 # (128k,16k) 854.5 (scan overhead), (256k,32k) 758.7, 1M+ far worse.
-CHUNK_LANES = int(_os.environ.get("PSDR_CHUNK_LANES", 1 << 17))
+CHUNK_LANES = int(_os.environ.get("PSDR_CHUNK_LANES", 96 * 1024))
 EDGE_CHUNK_LANES = int(
     _os.environ.get("PSDR_EDGE_CHUNK_LANES", 1 << 15)
 )

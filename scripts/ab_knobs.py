@@ -26,10 +26,10 @@ from scenes import make_cbox
 
 # (name, {module attr: value})
 VARIANTS = [
-    ("base_128k_32k", {}),
-    ("chunks_256k_64k", {"CHUNK_LANES": 262144, "EDGE_CHUNK_LANES": 65536}),
-    ("chunks_128k_64k", {"EDGE_CHUNK_LANES": 65536}),
-    ("pe_stack", {"_PE_STACK": True}),
+    ("base_96k_32k", {}),
+    ("chunks_80k_32k", {"CHUNK_LANES": 81920}),
+    ("chunks_112k_32k", {"CHUNK_LANES": 114688}),
+    ("edge_48k", {"EDGE_CHUNK_LANES": 49152}),
 ]
 
 REPS = int(os.environ.get("AB_REPS", "4"))
