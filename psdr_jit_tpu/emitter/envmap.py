@@ -137,15 +137,26 @@ class EnvironmentMapData:
         uv = jnp.stack([u, w], axis=-1)
         uv = uv - jnp.floor(uv)
         ok = active & (its.mesh_id == self.mesh_index)
-        return jnp.where(ok, self.cell_distrb.pdf(uv) * factor, 0.0)
+        # DEVIATION from the reference: envmap.cpp:142-162 omits the
+        # emitter-SELECTION probability that area.cpp:48-59 includes, so in
+        # a multi-emitter scene the reference's MIS weights fail to
+        # partition unity on envmap paths (NEE's pdf carries the selection
+        # factor, the BSDF-side pdf does not -> biased interior radiance).
+        # We multiply by the normalized sampling_weight like AreaLight.
+        return jnp.where(
+            ok, self.cell_distrb.pdf(uv) * factor * self.sampling_weight, 0.0
+        )
 
 
 def build_envmap_distribution(radiance: Bitmap):
     """Importance table: luminance * sin(theta) on a 2(w-1) x 2(h-1) grid
     (envmap.cpp:17-41)."""
     w0, h0 = radiance.resolution
-    assert w0 > 1 and h0 > 1, "EnvironmentMap needs a real texture"
-    width, height = (w0 - 1) * 2, (h0 - 1) * 2
+    # constant-radiance maps (the EnvironmentMap() default is a 1x1 bitmap)
+    # get a minimal 2x2 grid: the luminance is uniform, so the importance
+    # table reduces to sin(theta) weighting, which is exactly right
+    width = max((w0 - 1) * 2, 2)
+    height = max((h0 - 1) * 2, 2)
     # cells laid out row-major with x (=u) outermost like the reference's
     # HyperCubeDistribution<2> (dim 0 = x): cell index = x * height + y
     x = jnp.arange(width * height, dtype=jnp.int32) // height

@@ -14,6 +14,8 @@ carries derivatives; everything else is detached (path.cpp:171-270).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -145,6 +147,27 @@ def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
     return idx, result
 
 
+@functools.partial(jax.jit, static_argnums=(1, 6, 7))
+def _guiding_round(sd, sensor_id, seed_val, base, unit, cell_idx,
+                   num_cells: int, spp_cell: int):
+    """One detached evaluation sweep of the guiding grid (path.cpp:130-168).
+
+    Module-level and jitted ONCE per (grid shape, scene structure): the
+    scene data is an argument pytree, so repeated preprocessing during an
+    optimization loop does not recompile."""
+    num_samples = cell_idx.shape[0]
+    sampler = Sampler(seed_val, jnp.arange(num_samples, dtype=jnp.uint32))
+    sample3 = (base + sampler.next_nd(3)) * unit
+    _, value0 = eval_secondary_edge(
+        sd, sd.sensors[sensor_id], sample3, diff=False
+    )
+    value0 = scrub_nonfinite(value0)
+    if spp_cell > 1:
+        value0 = value0 / float(spp_cell)
+    mass = jnp.max(value0, axis=-1)
+    return jnp.zeros(num_cells, jnp.float32).at[cell_idx].add(mass)
+
+
 class SecondaryEdgeMixin:
     """Adds guided secondary-edge rendering to an integrator."""
 
@@ -170,22 +193,17 @@ class SecondaryEdgeMixin:
         base = warp.cell_coords(cell_idx).astype(jnp.float32)
         unit = 1.0 / jnp.asarray(grid, jnp.float32)
 
-        @jax.jit
-        def one_round(seed_val):
-            sampler = Sampler(seed_val, jnp.arange(num_samples, dtype=jnp.uint32))
-            sample3 = (base + sampler.next_nd(3)) * unit
-            _, value0 = eval_secondary_edge(
-                sd, sd.sensors[sensor_id], sample3, diff=False
-            )
-            value0 = scrub_nonfinite(value0)
-            if spp_cell > 1:
-                value0 = value0 / float(spp_cell)
-            mass = jnp.max(value0, axis=-1)
-            return jnp.zeros(num_cells, jnp.float32).at[cell_idx].add(mass)
-
+        # one module-level jitted function: scene data / grid arrays flow
+        # in as ARGUMENTS, so the per-iteration preprocess of a guided
+        # optimization loop (reference tutorial pattern) reuses one
+        # compiled program instead of baking sd into a fresh closure and
+        # recompiling every call (cold TPU compiles run minutes)
         result = jnp.zeros(num_cells, jnp.float32)
         for j in range(nrounds):
-            result = result + one_round(jnp.uint32(seed + j * 7919))
+            result = result + _guiding_round(
+                sd, sensor_id, jnp.uint32(seed + j * 7919), base, unit,
+                cell_idx, num_cells, spp_cell,
+            )
         if nrounds > 1:
             result = result / float(nrounds)
         self.warpper[sensor_id] = HyperCubeDistribution.init(grid, result)

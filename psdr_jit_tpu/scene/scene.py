@@ -541,8 +541,15 @@ class Scene(Object):
             for s in self.sensors:
                 to_world = s.to_world_left @ s.to_world_raw @ s.to_world_right
                 if isinstance(s, OrthographicCamera):
+                    # camera-space film extent is x in [-1,1], y in
+                    # [-1/aspect, 1/aspect] (orthographic.py
+                    # camera_to_sample); a hardcoded +-1.2 square would
+                    # leave portrait films (aspect < 1) partly OUTSIDE the
+                    # sky box, rendering envmap radiance in front of the
+                    # scene on the top/bottom rows
+                    aspect = float(self.opts.width) / float(self.opts.height)
                     for cx in (-1.2, 1.2):
-                        for cy in (-1.2, 1.2):
+                        for cy in (-1.2 / aspect, 1.2 / aspect):
                             cam_pts.append(
                                 jnp.asarray([cx, cy, 0.0]) @ to_world[:3, :3].T
                                 + to_world[:3, 3]
@@ -617,8 +624,12 @@ class Scene(Object):
                 weights.append(jnp.float32(0.0))
         if emitters:
             total = sum(weights)
+            # envmap weight = total of the others (scene.cpp:507-510); a
+            # LONE envmap would get weight 0 -> sampling_weight 0, so fall
+            # back to 1 (any positive constant: it is the only emitter)
+            env_w = jnp.where(jnp.asarray(total) > 0.0, total, 1.0)
             weights = [
-                total if isinstance(em, EnvironmentMap) else w
+                env_w if isinstance(em, EnvironmentMap) else w
                 for em, w in zip(emitters, weights)
             ]
             wsum = sum(weights)

@@ -187,15 +187,20 @@ def build_primary_edges(camera_pos, world_to_sample, mesh_list, mesh_datas,
         tri = md.tri
         has_f1 = ei[:, 3] >= 0
         f1 = jnp.maximum(ei[:, 3], 0)
+        # classification is boolean (non-differentiable): detach the
+        # gathered geometry so no gather here can transpose into a scatter
+        # inside the per-step differentiated scene compile
+        tp0 = jax.lax.stop_gradient(tri.p0)
+        tfn = jax.lax.stop_gradient(tri.face_normal)
         if camera_dir is not None:
             e0 = jnp.broadcast_to(-normalize(camera_dir),
                                   (ei.shape[0], 3))
             e1 = e0
         else:
-            e0 = normalize(camera_pos - tri.p0[ei[:, 2]])
-            e1 = normalize(camera_pos - tri.p0[f1])
-        n0 = tri.face_normal[ei[:, 2]]
-        n1 = tri.face_normal[f1]
+            e0 = normalize(camera_pos - tp0[ei[:, 2]])
+            e1 = normalize(camera_pos - tp0[f1])
+        n0 = tfn[ei[:, 2]]
+        n1 = tfn[f1]
 
         d00 = dot(e0, n0)
         d11 = dot(e1, n1)
@@ -226,9 +231,16 @@ def build_primary_edges(camera_pos, world_to_sample, mesh_list, mesh_datas,
         if uv_mask is not None:
             keep = keep | uv_mask
 
+        # endpoints DO carry gradients (screen positions -> x_dot_n /
+        # lengths): one one-hot-matmul gather for both, so the backward is
+        # a single MXU transpose instead of two vertex scatters per mesh
+        # per training step (ops/gather.py rationale)
+        from ..ops.gather import gather_rows
+
         vp = md.vertex_positions
-        q0 = xf.transform_pos(world_to_sample, vp[ei[:, 0]])[..., :2]
-        q1 = xf.transform_pos(world_to_sample, vp[ei[:, 1]])[..., :2]
+        both = gather_rows(vp, jnp.stack([ei[:, 0], ei[:, 1]]))
+        q0 = xf.transform_pos(world_to_sample, both[0])[..., :2]
+        q1 = xf.transform_pos(world_to_sample, both[1])[..., :2]
         e_scr = jax.lax.stop_gradient(q1 - q0)
         length = norm(e_scr)
         e_unit = e_scr * safe_div(1.0, length)[..., None]

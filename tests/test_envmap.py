@@ -254,3 +254,84 @@ def test_envmap_secondary_edge_interior_alone_misses_gradient():
     _, d = jax.jvp(mean_img, (jnp.float32(0.0),), (jnp.float32(1.0),))
     occ.to_world_raw = base
     assert abs(float(d)) < 0.25 * abs(_envmap_shadow_oracle())
+
+
+def test_multi_emitter_mis_partitions_unity():
+    """Envmap + area light: NEE-only, BSDF-only and MIS direct renders must
+    agree in expectation.  DEVIATION from the reference documented in
+    envmap.py sample_position_pdf: envmap.cpp:142-162 omits the
+    emitter-selection probability that area.cpp:48-59 includes, biasing the
+    reference's MIS on envmap paths in multi-emitter scenes; we include it."""
+    sc = _plane_under_sky(w=32, rho=0.6, L=0.4)
+    sc.opts.spp = 256
+    # add a small area light above the plane
+    quad = psdr.Mesh()
+    quad.use_face_normals = True
+    quad.enable_edges = False
+    quad.load_raw(
+        np.asarray([[2, -1, 4], [2, 1, 4], [4, 1, 4], [4, -1, 4]],
+                   np.float32),
+        np.asarray([[0, 1, 2], [0, 2, 3]], np.int32),
+    )
+    sc.add_BSDF(psdr.DiffuseBSDF([0.0, 0.0, 0.0]), "black")
+    sc.add_Mesh(quad, None, "black", psdr.AreaLight([6.0, 6.0, 6.0]))
+    sc.configure()
+
+    means = []
+    for mis in (0, 1, 2):
+        img = np.asarray(psdr.Direct(mis).renderC(sc, 0, seed=mis + 1))
+        means.append(float(img.mean()))
+    # all three estimators target the same integral
+    assert abs(means[2] - means[0]) < 0.05 * means[0], means
+    assert abs(means[2] - means[1]) < 0.08 * means[1], means
+
+
+def test_portrait_ortho_film_inside_sky_box():
+    """Portrait films (aspect < 1) span y in [-1/aspect, 1/aspect] in
+    camera space; the envmap bound box must contain the WHOLE film plane
+    or the top/bottom rows originate outside the inward-facing sky box and
+    render envmap radiance in front of the geometry (regression for the
+    hardcoded +-1.2 corner containment)."""
+    L, rho = 0.4, 0.6
+    sc = _plane_under_sky(L=L, rho=rho, w=16)
+    sc.opts.width = 16
+    sc.opts.height = 48  # aspect 1/3 -> film y in [-3, 3]
+    sc.opts.spp = 64
+    sc.configure()
+    img = np.asarray(psdr.PathTracer(1).renderC(sc, 0, seed=2))
+    img = img.reshape(48, 16, 3)
+    # the 10x10 plane covers the film everywhere (|y_cam| <= 3 < 5): every
+    # row must show the lit plane (~rho*L), not raw envmap radiance (=L)
+    row_means = img.mean(axis=(1, 2))
+    assert np.all(np.abs(row_means - rho * L) < 0.35 * rho * L), (
+        row_means.min(), row_means.max()
+    )
+
+
+def test_default_constant_envmap_configures_and_renders():
+    """EnvironmentMap() (constant radiance, 1x1 bitmap) must survive
+    configure: the importance grid falls back to a minimal 2x2 sin(theta)
+    table (regression: build_envmap_distribution asserted w,h > 1)."""
+    sc2 = psdr.Scene()
+    sc2.opts.width = sc2.opts.height = 16
+    sc2.opts.spp = 16
+    cam = psdr.OrthographicCamera(0.1, 100.0)
+    cam.to_world = np.asarray(
+        xf.look_at([0.0, 0.0, 10.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        np.float32,
+    )
+    sc2.add_Sensor(cam)
+    sc2.add_BSDF(psdr.DiffuseBSDF([0.5, 0.5, 0.5]), "rho")
+    plane = psdr.Mesh()
+    plane.use_face_normals = True
+    plane.enable_edges = False
+    plane.load_raw(
+        np.asarray([[-5, -5, 0], [5, -5, 0], [5, 5, 0], [-5, 5, 0]],
+                   np.float32),
+        np.asarray([[0, 1, 2], [0, 2, 3]], np.int32),
+    )
+    sc2.add_Mesh(plane, None, "rho")
+    sc2.add_EnvironmentMap(psdr.EnvironmentMap())  # default: uniform sky
+    sc2.configure()
+    img = np.asarray(psdr.PathTracer(1).renderC(sc2, 0, seed=0))
+    assert np.isfinite(img).all() and img.mean() > 0.1
