@@ -102,17 +102,39 @@ def _chunked_pixel_map(render_chunk, pix, spp: int, checkpoint: bool):
     stacks every chunk's residuals (= REMAT_MODE=none, which OOMs HBM).
     """
     n_pix = pix.shape[0]
-    max_pix = max(CHUNK_LANES // max(spp, 1), 1)
+    max_pix = _chunk_max_pix(spp)
     if n_pix <= max_pix:
         return render_chunk(pix)
+    pix_chunks, _ = pad_pixel_chunks(pix, spp)
+    body = _remat(render_chunk) if checkpoint else render_chunk
+    out = jax.lax.map(body, pix_chunks)
+    return out.reshape(pix_chunks.size, -1)[:n_pix]
+
+
+def _chunk_max_pix(spp: int) -> int:
+    return max(CHUNK_LANES // max(spp, 1), 1)
+
+
+def pad_pixel_chunks(pix, spp: int):
+    """Zero-pad ``pix`` to a whole number of CHUNK_LANES-sized chunks.
+
+    ONE definition of the chunk geometry, shared by the remat render path
+    above and the fused forward+adjoint scan (integrator/fused.py) — the
+    two must never diverge in how they partition the pixel set.  Returns
+    ``(pix_chunks (k, max_pix), row_valid (k, max_pix))``; pad rows render
+    pixel 0 and must be masked out by the caller's reduction.
+    """
+    n_pix = pix.shape[0]
+    max_pix = _chunk_max_pix(spp)
     k = -(-n_pix // max_pix)
     n_pad = k * max_pix
-    pix_pad = jnp.concatenate(
+    pix_chunks = jnp.concatenate(
         [pix, jnp.zeros((n_pad - n_pix,), pix.dtype)]
     ).reshape(k, max_pix)
-    body = _remat(render_chunk) if checkpoint else render_chunk
-    out = jax.lax.map(body, pix_pad)
-    return out.reshape(n_pad, -1)[:n_pix]
+    row_valid = (jnp.arange(n_pad, dtype=jnp.int32) < n_pix).reshape(
+        k, max_pix
+    )
+    return pix_chunks, row_valid
 
 
 def _chunked_splat_sum(chunk_vals, n_samples: int, n_pix: int,

@@ -77,16 +77,10 @@ def _interior_scan(integrator, sd, opts, sensor_id: int, seed, pixel_loss,
     zero_floats, _ = _split_float(sd)
     zero_floats = [jnp.zeros_like(x) for x in zero_floats]
 
-    max_pix = max(_base.CHUNK_LANES // max(spp, 1), 1)
-    k = -(-n_local // max_pix)
-    n_pad = k * max_pix
-    pix_pad = jnp.concatenate(
-        [pix, jnp.zeros((n_pad - n_local,), pix.dtype)]
-    )  # pad rows render pixel 0; masked out of the loss below
-    pix_chunks = pix_pad.reshape(k, max_pix)
-    row_valid = (jnp.arange(n_pad, dtype=jnp.int32) < n_local).reshape(
-        k, max_pix
-    )
+    # same chunk geometry as the remat render path (pad rows render pixel
+    # 0 and are masked out of the loss below)
+    pix_chunks, row_valid = _base.pad_pixel_chunks(pix, spp)
+    n_pad = pix_chunks.size
 
     def body(carry, xs):
         acc, loss_acc = carry

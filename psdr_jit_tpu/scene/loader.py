@@ -86,8 +86,12 @@ def _parse_transform(node):
     return m
 
 
-def _load_texture_or_value(node, name, channels, default):
-    """<rgb>/<float> constant or <texture><string name="filename"> file."""
+def _load_texture_or_value(node, name, channels, default, base_dir="."):
+    """<rgb>/<float> constant or <texture><string name="filename"> file.
+
+    Texture filenames resolve against the scene file's directory, exactly
+    like OBJ and envmap paths (scene_loader.cpp resolves everything
+    relative to the scene)."""
     for child in node:
         if child.get("name") != name:
             continue
@@ -95,7 +99,7 @@ def _load_texture_or_value(node, name, channels, default):
             fname = _parse_named(child, "filename")
             from ..utils.image import read_image
 
-            arr = read_image(fname)
+            arr = read_image(os.path.join(base_dir, fname))
             if channels == 1 and arr.ndim == 3:
                 arr = arr[..., :1]
             return Bitmap.from_array(arr)
@@ -109,42 +113,52 @@ def _load_texture_or_value(node, name, channels, default):
     return Bitmap.from_value(np.asarray(default, np.float32), channels)
 
 
-def _parse_bsdf(node):
+def _parse_bsdf(node, base_dir="."):
     t = node.get("type")
     if t == "diffuse":
         b = DiffuseBSDF()
         b.reflectance = _load_texture_or_value(
-            node, "reflectance", 3, (0.5, 0.5, 0.5)
+            node, "reflectance", 3, (0.5, 0.5, 0.5), base_dir
         )
         return b
     if t == "microfacet":
         b = MicrofacetBSDF()
         b.specularReflectance = _load_texture_or_value(
-            node, "specularReflectance", 3, (0.04,) * 3
+            node, "specularReflectance", 3, (0.04,) * 3, base_dir
         )
         b.diffuseReflectance = _load_texture_or_value(
-            node, "diffuseReflectance", 3, (0.5,) * 3
+            node, "diffuseReflectance", 3, (0.5,) * 3, base_dir
         )
-        b.roughness = _load_texture_or_value(node, "roughness", 1, (0.5,))
+        b.roughness = _load_texture_or_value(node, "roughness", 1, (0.5,),
+                                             base_dir)
         return b
     if t == "roughconductor":
-        alpha = _parse_named(node, "alpha", 0.1)
-        eta = _parse_named(node, "eta", (0.2004, 0.9228, 1.102))
-        k = _parse_named(node, "k", (3.913, 2.448, 2.1765))
-        return RoughConductorBSDF(alpha_u=alpha, eta=tuple(np.atleast_1d(eta)),
-                                  k=tuple(np.atleast_1d(k)))
+        # alpha/eta/k accept textures like the reference's load_texture
+        # route (scene_loader.cpp:336-357), not just scalars
+        b = RoughConductorBSDF()
+        b.alpha_u = _load_texture_or_value(node, "alpha", 1, (0.1,), base_dir)
+        b.alpha_v = _load_texture_or_value(node, "alpha", 1, (0.1,), base_dir)
+        b.eta = _load_texture_or_value(
+            node, "eta", 3, (0.2004, 0.9228, 1.102), base_dir
+        )
+        b.k = _load_texture_or_value(
+            node, "k", 3, (3.913, 2.448, 2.1765), base_dir
+        )
+        return b
     if t == "roughdielectric":
-        alpha = _parse_named(node, "alpha", 0.1)
         int_ior = _parse_named(node, "intIOR", 1.5)
         ext_ior = _parse_named(node, "extIOR", 1.0)
-        return RoughDielectricBSDF(alpha_u=alpha, int_ior=int_ior,
-                                   ext_ior=ext_ior)
+        b = RoughDielectricBSDF(int_ior=int_ior, ext_ior=ext_ior)
+        b.alpha_u = _load_texture_or_value(node, "alpha", 1, (0.1,), base_dir)
+        b.alpha_v = b.alpha_u
+        return b
     if t == "normalmap":
         nested = None
         for child in node:
             if child.tag == "bsdf":
-                nested = _parse_bsdf(child)
-        nmap = _load_texture_or_value(node, "normalmap", 3, (0.5, 0.5, 1.0))
+                nested = _parse_bsdf(child, base_dir)
+        nmap = _load_texture_or_value(node, "normalmap", 3, (0.5, 0.5, 1.0),
+                                      base_dir)
         return NormalMapBSDF(nmap, nested or DiffuseBSDF())
     raise ValueError(f"Unknown BSDF type: {t}")
 
@@ -154,7 +168,16 @@ def load_string(text: str, base_dir: str = ".") -> Scene:
     assert root.tag == "scene"
     sc = Scene()
 
-    for node in root:
+    # reference node ordering (scene_loader.cpp:209-245): all sensors,
+    # then all bsdfs, then emitters, then shapes — so a <shape> may <ref>
+    # a BSDF defined LATER in the document
+    ordered = (
+        [n for n in root if n.tag == "sensor"]
+        + [n for n in root if n.tag == "bsdf"]
+        + [n for n in root if n.tag == "emitter"]
+        + [n for n in root if n.tag == "shape"]
+    )
+    for node in ordered:
         if node.tag == "sensor":
             assert node.get("type") == "perspective", "Only perspective sensors"
             fov = _parse_named(node, "fov", 60.0)
@@ -162,7 +185,9 @@ def load_string(text: str, base_dir: str = ".") -> Scene:
             far = _parse_named(node, "farClip", 1e7)
             cam = PerspectiveCamera(fov, near, far)
             for child in node:
-                if child.tag == "transform" and child.get("name") == "toWorld":
+                # the reference takes the first <transform> child whatever
+                # its name attribute is (scene_loader.cpp:269)
+                if child.tag == "transform":
                     cam.to_world_raw = _parse_transform(child)
                 if child.tag == "film":
                     sc.opts.width = int(_parse_named(child, "width", 128))
@@ -184,7 +209,7 @@ def load_string(text: str, base_dir: str = ".") -> Scene:
                     env.to_world_raw = _parse_transform(child)
             sc.add_EnvironmentMap(env)
         elif node.tag == "bsdf":
-            b = _parse_bsdf(node)
+            b = _parse_bsdf(node, base_dir)
             sc.add_BSDF(b, node.get("id", f"bsdf{len(sc.bsdfs)}"))
         elif node.tag == "shape":
             assert node.get("type") == "obj"
