@@ -145,10 +145,16 @@ def main():
 
     # Speed-of-light estimate: intersection is the dominant unavoidable cost.
     # The cluster-brute kernel does ~F_pad triangle tests per ray at ~48
-    # VPU flops each; a v5e VPU sustains ~4e12 f32 flop/s.
+    # VPU flops each; a v5e VPU sustains ~4e12 f32 flop/s.  F_pad mirrors
+    # the kernel's real padding (16-triangle clusters, intersect_pallas
+    # CLUSTER_SMALL) — cbox is exactly 32 triangles, so this denominator is
+    # 2x stricter than round 1's 64-multiple estimate.  It is an
+    # intersection-only bound: a full differentiable step also carries
+    # unavoidable shading/AD math, so vs_baseline deliberately understates
+    # how close the step is to its true floor (see docs/PERFORMANCE.md).
     # (BASELINE.json "published" is empty — no reference numbers exist.)
     sc, integ, mesh, em = _setup(spp=SPP)
-    f_pad = 64 * -(-sum(m.num_faces for m in sc.meshes) // 64)
+    f_pad = 16 * -(-sum(m.num_faces for m in sc.meshes) // 16)
     vpu_flops = 4.0e12
     sol_mrays = vpu_flops / (f_pad * 48.0) / 1e6
 
