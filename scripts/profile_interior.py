@@ -51,6 +51,11 @@ def main():
         fn = jax.jit(lambda seed: integ.renderC(sc, 0, seed=seed))
         args_for = lambda i: (jnp.uint32(i),)  # noqa: E731
     elif mode == "fused":
+        # target must be a jit ARGUMENT like bench.py: a closed-over
+        # constant gets constant-sunk and re-broadcast as a (n_pix, 3)
+        # materialization inside EVERY interior chunk iteration — measured
+        # 17.6 ms/step of pure profile artifact (broadcast.79922,
+        # 2026-08-19 trace)
         target = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
 
         def apply(p):
@@ -58,13 +63,13 @@ def main():
             mesh.vertex_positions_raw = base_v + dv
             em.radiance = base_r + dr
 
-        def ploss(rows, pix):
-            return jnp.sum(jnp.square(rows - target[pix]), axis=-1)
+        def step(p, s, tgt):
+            def ploss(rows, pix):
+                return jnp.sum(jnp.square(rows - tgt[pix]), axis=-1)
+            return integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
 
-        fn = jax.jit(
-            lambda p, s: integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
-        )
-        args_for = lambda i: ((zeros_v, zeros_r), jnp.uint32(i))  # noqa: E731
+        fn = jax.jit(step)
+        args_for = lambda i: ((zeros_v, zeros_r), jnp.uint32(i), target)  # noqa: E731
     else:
         def loss_fn(dv, dr, seed):
             mesh.vertex_positions_raw = base_v + dv
