@@ -114,11 +114,14 @@ INV_FOUR_PI = 1.0 / (4.0 * PI)
 # ---------------------------------------------------------------------------
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(init=False)
 class RenderOption:
     """Static rendering configuration.
 
-    Mirrors ``RenderOption{width,height,spp,sppe,sppse,log_level}``.
+    Mirrors ``RenderOption{width,height,spp,sppe,sppse,log_level}`` and its
+    positional constructors (reference: include/psdr/types.h:217-222,
+    src/psdr.cpp:127-129): ``RenderOption(w, h, s)`` sets spp=sppe=sppse=s;
+    ``RenderOption(w, h, s1, s2)`` sets sppe=sppse=s2.
     Plain (non-pytree) dataclass — all fields are static compile-time values.
     """
 
@@ -128,6 +131,15 @@ class RenderOption:
     sppe: int = 1
     sppse: int = 1
     log_level: int = 0
+
+    def __init__(self, width=128, height=128, spp=1, sppe=None, sppse=None,
+                 log_level=0):
+        self.width = int(width)
+        self.height = int(height)
+        self.spp = int(spp)
+        self.sppe = int(spp if sppe is None else sppe)
+        self.sppse = int(self.sppe if sppse is None else sppse)
+        self.log_level = int(log_level)
 
     @property
     def num_pixels(self) -> int:

@@ -408,9 +408,21 @@ class Scene(Object):
         self._rebuild_param_map()
         return len(self.bsdfs) - 1
 
-    def add_EnvironmentMap(self, env: EnvironmentMap):
+    def add_EnvironmentMap(self, env, to_world=None, scale=None):
+        """Add the (single) environment map.
+
+        Two reference overloads (src/psdr.cpp:397-398): an ``EnvironmentMap``
+        object, or ``(filename, to_world, scale)``
+        (src/scene/scene.cpp:85-96).
+        """
+        assert self.emitter_env is None, \
+            "A scene is only allowed to have one envmap!"
         if not isinstance(env, EnvironmentMap):
-            env = EnvironmentMap(env)
+            env = EnvironmentMap(env, scale=1.0 if scale is None else scale)
+        elif scale is not None:
+            env.scale = jnp.float32(scale)
+        if to_world is not None:
+            env.to_world_raw = jnp.asarray(to_world, jnp.float32)
         self.emitter_env = env
         self.emitters.append(env)
         self._rebuild_param_map()
@@ -651,7 +663,21 @@ class Scene(Object):
                         from_world=jnp.linalg.inv(
                             em.to_world_left @ em.to_world_raw
                         ),
-                        cell_distrb=build_envmap_distribution(em.radiance),
+                        # Importance table built once at Scene.configure()
+                        # (like the reference, envmap.cpp:17-41) and flowed
+                        # in as detached data — building it here would put
+                        # an ~8M-cell bilinear eval + cumsum inside every
+                        # traced training step when the radiance is an
+                        # optimized (traced) parameter.  Sampling + pdf both
+                        # come from the same (possibly stale-by-one-
+                        # configure) table, so the estimator stays unbiased;
+                        # call configure() again to refresh importance.
+                        cell_distrb=(
+                            em._cell_distrb_cache
+                            if getattr(em, "_cell_distrb_cache", None)
+                            is not None
+                            else build_envmap_distribution(em.radiance)
+                        ),
                         lower=lower,
                         upper=upper,
                         sampling_weight=norm_w,
@@ -719,6 +745,17 @@ class Scene(Object):
             )
             self._active_sensors = active_sensors
             self._tri_perm = self._compute_tri_perm()
+            # (re)build the envmap importance table eagerly, OUTSIDE any
+            # trace (reference: Emitter::configure, envmap.cpp:17-41);
+            # configure_data consumes the cache so traced training steps
+            # never re-derive it from a traced radiance
+            for em in self.emitters:
+                if isinstance(em, EnvironmentMap) and not isinstance(
+                    em.radiance.data, jax.core.Tracer
+                ):
+                    em._cell_distrb_cache = jax.lax.stop_gradient(
+                        build_envmap_distribution(em.radiance)
+                    )
             self._data = self.configure_data(active_sensors)
             if self.opts.log_level > 0:
                 jax.block_until_ready(jax.tree_util.tree_leaves(self._data))

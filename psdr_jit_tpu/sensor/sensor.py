@@ -181,9 +181,9 @@ def build_primary_edges(camera_pos, world_to_sample, mesh_list, mesh_datas,
 
     p0s, p1s, normals, lengths = [], [], [], []
     for mesh, md in zip(mesh_list, mesh_datas):
-        if not mesh.enable_edges or mesh.edge_indices.shape[0] == 0:
+        if not mesh.enable_edges or mesh._edge_rows.shape[0] == 0:
             continue
-        ei = jnp.asarray(mesh.edge_indices, jnp.int32)
+        ei = jnp.asarray(mesh._edge_rows, jnp.int32)
         tri = md.tri
         has_f1 = ei[:, 3] >= 0
         f1 = jnp.maximum(ei[:, 3], 0)
@@ -207,7 +207,7 @@ def build_primary_edges(camera_pos, world_to_sample, mesh_list, mesh_datas,
         uv_mask = None
         if mesh.has_uv:
             fuv = np.asarray(mesh.face_uv_indices)
-            einp = np.asarray(mesh.edge_indices)
+            einp = np.asarray(mesh._edge_rows)
             fuv1 = fuv[einp[:, 2]]
             fuv2 = fuv[np.maximum(einp[:, 3], 0)]
             uv_cut = np.zeros(einp.shape[0], np.int32)

@@ -174,7 +174,8 @@ class Mesh(Object):
         self.face_indices = np.zeros((0, 3), np.int32)
         self.vertex_uv = None       # (T, 2) jnp or None
         self.face_uv_indices = None  # (F, 3) np or None
-        self.edge_indices = np.zeros((0, 5), np.int32)
+        self._edge_rows = np.zeros((0, 5), np.int32)
+        self.valid_edge_indices = np.zeros((0, 2), np.int32)
         self.to_world_raw = jnp.eye(4, dtype=jnp.float32)
         self.to_world_left = jnp.eye(4, dtype=jnp.float32)
         self.to_world_right = jnp.eye(4, dtype=jnp.float32)
@@ -185,6 +186,19 @@ class Mesh(Object):
         self.id = ""
 
     # -- reference-compatible properties -----------------------------------
+    def edge_indices(self):
+        """First four columns (v0, v1, face0, face1) of the edge rows.
+
+        Mirrors the reference's ``head<4>(mesh.m_edge_indices)`` accessor
+        (src/psdr.cpp:337); the fifth column (the opposite third vertex) is
+        internal.
+        """
+        return np.asarray(self._edge_rows[:, :4])
+
+    @property
+    def num_edges(self) -> int:
+        return int(self._edge_rows.shape[0])
+
     @property
     def use_face_normal(self):
         """Reference attribute name (psdr.cpp binds 'use_face_normal')."""
@@ -274,13 +288,13 @@ class Mesh(Object):
             self.vertex_uv = None
             self.face_uv_indices = None
         if self.enable_edges and self.num_faces > 0:
-            self.edge_indices = build_edge_list(self.face_indices)
+            self._edge_rows = build_edge_list(self.face_indices)
         else:
-            self.edge_indices = np.zeros((0, 5), np.int32)
+            self._edge_rows = np.zeros((0, 5), np.int32)
         if verbose:
             print(
                 f"Loaded {self.num_vertices} vertices, {self.num_faces} faces, "
-                f"{self.edge_indices.shape[0]} edges."
+                f"{self._edge_rows.shape[0]} edges."
             )
         return self
 
@@ -316,8 +330,8 @@ class Mesh(Object):
             tri_uv = jnp.zeros((self.num_faces, 3, 2), jnp.float32)
 
         sec_edge = None
-        if with_edges and self.enable_edges and self.edge_indices.shape[0] > 0:
-            ei = jnp.asarray(self.edge_indices, jnp.int32)
+        if with_edges and self.enable_edges and self._edge_rows.shape[0] > 0:
+            ei = jnp.asarray(self._edge_rows, jnp.int32)
             is_boundary = ei[:, 3] < 0
             f1 = jnp.maximum(ei[:, 3], 0)
             p0 = vertex_positions[ei[:, 0]]

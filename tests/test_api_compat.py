@@ -161,6 +161,60 @@ def test_perspective_intrinsic_ctor():
     assert sd.sample_to_camera.shape == (4, 4)
 
 
+def test_render_option_positional_ctors():
+    """Reference positional constructors (types.h:217-222, psdr.cpp:127-129):
+    3-arg sets spp=sppe=sppse; 4-arg sets sppe=sppse."""
+    o = psdr.RenderOption(512, 512, 32)
+    assert (o.width, o.height, o.spp, o.sppe, o.sppse) == (512, 512, 32, 32, 32)
+    o = psdr.RenderOption(512, 256, 32, 8)
+    assert (o.spp, o.sppe, o.sppse) == (32, 8, 8)
+    o = psdr.RenderOption(512, 256, 32, 8, 4)
+    assert (o.spp, o.sppe, o.sppse) == (32, 8, 4)
+    o = psdr.RenderOption()
+    assert (o.width, o.height, o.spp) == (128, 128, 1)
+
+
+def test_mesh_edge_indices_accessors():
+    """Mesh.edge_indices() head-4 accessor + valid_edge_indices attribute
+    (psdr.cpp:335-338)."""
+    m = psdr.Mesh()
+    m.load_raw(
+        np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32),
+        np.asarray([[0, 1, 2], [0, 2, 3]], np.int32),
+    )
+    ei = m.edge_indices()
+    assert ei.shape == (5, 4)           # 5 edges of a 2-triangle quad
+    assert ei.dtype == np.int32
+    # columns are (v0, v1, face0, face1)
+    assert set(map(tuple, ei[:, :2])) == {
+        (0, 1), (1, 2), (0, 2), (2, 3), (0, 3)}
+    m.valid_edge_indices = ei[:2, :2]   # user-writable, unused internally
+    assert m.valid_edge_indices.shape == (2, 2)
+    assert m.num_edges == 5
+
+
+def test_add_envmap_filename_overload(tmp_path):
+    """Scene.add_EnvironmentMap(filename, to_world, scale)
+    (psdr.cpp:397, scene.cpp:85-96) and the one-envmap assert."""
+    from psdr_jit_tpu import native
+    if not native.available():
+        pytest.skip("native EXR codec unavailable")
+    img = np.random.default_rng(1).uniform(0, 1, (4, 8, 3)).astype(np.float32)
+    path = str(tmp_path / "env.exr")
+    native.write_exr(path, img)
+    sc = psdr.Scene()
+    t = np.diag([1.0, 1.0, 1.0, 1.0]).astype(np.float32)
+    t[0, 3] = 2.0
+    sc.add_EnvironmentMap(path, t, 3.0)
+    assert sc.emitter_env is not None
+    np.testing.assert_allclose(float(sc.emitter_env.scale), 3.0)
+    np.testing.assert_allclose(np.asarray(sc.emitter_env.to_world_raw), t)
+    np.testing.assert_allclose(
+        np.asarray(sc.emitter_env.radiance.data), img, rtol=1e-6)
+    with pytest.raises(AssertionError):
+        sc.add_EnvironmentMap(psdr.EnvironmentMap())
+
+
 def test_add_normalmap_bsdf():
     sc = make_cbox(width=8, height=8, spp=1)
     n = sc.add_normalmap_BSDF(

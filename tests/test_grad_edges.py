@@ -139,6 +139,62 @@ def test_primary_edge_vertex_gradient():
     np.testing.assert_allclose(np.mean(grads), 0.5, rtol=0.06)
 
 
+def test_primary_edge_bf16_adjoint_delta_pinned():
+    """Pin the documented bf16 rounding of the reverse-mode edge adjoint.
+
+    The default ``PSDR_SPLAT_T=rows_bf16`` transpose gathers the loss
+    cotangent image from a bf16 table (ops/image.py:98-105).  This test pins
+    the contract in docs/PERFORMANCE.md:142-148: the deterministic rounding
+    stays ~0.4% (<1e-2 relative) of the f32 gradient, and the f32 ``rows``
+    transpose matches forward-mode exactly.  A change that amplifies the
+    bf16 error past 1% fails here.
+
+    The loss is a *random-weighted* pixel sum: a mean loss has a
+    power-of-two adjoint (exact in bf16) and would pin nothing.
+    """
+    from psdr_jit_tpu.ops import image as image_ops
+
+    sc, light = _primary_edge_scene(x0=0.3, w=64, sppe=16)
+    sc.configure()
+    base = light.to_world_raw
+    w = jnp.asarray(
+        np.random.default_rng(7).uniform(0.25, 1.0, (64 * 64, 3)), jnp.float32
+    )
+
+    def grad_of(mode):
+        # SPLAT_TRANSPOSE is read at trace time; a fresh integrator gets a
+        # fresh jit cache, so toggling the module variable retraces.
+        old = image_ops.SPLAT_TRANSPOSE
+        image_ops.SPLAT_TRANSPOSE = mode
+        try:
+            integ = psdr.PathTracer(0)
+
+            def loss(tx):
+                light.to_world_raw = base.at[0, 3].add(tx)
+                return jnp.sum(integ.renderD(sc, 0, seed=0) * w)
+
+            if mode == "jvp":
+                image_ops.SPLAT_TRANSPOSE = "rows"
+                _, d = jax.jvp(
+                    loss, (jnp.float32(0.0),), (jnp.float32(1.0),)
+                )
+                return float(d)
+            return float(jax.grad(loss)(jnp.float32(0.0)))
+        finally:
+            image_ops.SPLAT_TRANSPOSE = old
+            light.to_world_raw = base
+
+    g_fwd = grad_of("jvp")           # forward mode: always exact f32
+    g_rows = grad_of("rows")         # reverse, f32 adjoint table
+    g_bf16 = grad_of("rows_bf16")    # reverse, bf16 adjoint table (default)
+
+    assert abs(g_fwd) > 0.1  # the edge term actually carries signal here
+    # f32 reverse == forward (same linear program, transposed exactly)
+    np.testing.assert_allclose(g_rows, g_fwd, rtol=1e-5)
+    # bf16 table rounding: documented ~0.4%, pinned below 1% relative
+    assert abs(g_bf16 - g_rows) / abs(g_rows) < 1e-2, (g_bf16, g_rows)
+
+
 # ---------------------------------------------------------------------------
 # Secondary edges
 # ---------------------------------------------------------------------------
