@@ -97,6 +97,30 @@ class PathTracer(SecondaryEdgeMixin, Integrator):
     def Li(self, sd, sampler, ray, active, diff: bool, tape=None):
         from .base import REMAT_MODE
 
+        if not diff and tape is None:
+            # Detached Li (primal renderC + both boundary-term radiance
+            # evaluations): hand-fused Pallas megakernel when the scene
+            # fits its scope — one launch instead of 1+2*depth intersection
+            # kernels plus ~1900 XLA shading fusions (ops/megakernel.py).
+            from ..ops import megakernel as mega
+
+            use, interp = mega.enabled()
+            if use and mega.applicable(sd):
+                sd_det = jax.lax.stop_gradient(sd)
+                tables = mega.build_tables(sd_det)
+                out = mega.li_mega(
+                    *tables,
+                    jax.lax.stop_gradient(ray.o).reshape(-1, 3),
+                    jax.lax.stop_gradient(ray.d).reshape(-1, 3),
+                    active.reshape(-1), sampler.lane.reshape(-1),
+                    sampler.seed_value,
+                    depth=self.max_depth, cnt0=sampler.cnt,
+                    hide_emitters=self.hide_emitters, interpret=interp,
+                )
+                # keep the draw schedule in lockstep with the XLA path
+                sampler.cnt += 2 * self.max_depth
+                return out.reshape(active.shape + (3,))
+
         its = sd.ray_intersect(ray, active, mode="solid" if diff else "path",
                                diff=diff, tape=tape)
         active = active & its.valid

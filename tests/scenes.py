@@ -94,6 +94,38 @@ def make_cbox(width=64, height=64, spp=4, sppe=0, sppse=0,
     return sc
 
 
+REF_BUNNY = "/root/reference/tutorials/data/mesh/bunny_low.obj"
+REF_BALLROOM = "/root/reference/tutorials/data/envmap/ballroom_1k.exr"
+
+
+def make_bunny_envmap(width=128, height=128, spp=32, sppe=0, sppse=0,
+                      bunny_path=REF_BUNNY, envmap_path=REF_BALLROOM):
+    """The Forward_AD_envmap.ipynb tutorial scene (BASELINE config #3):
+    Microfacet bunny at z=-100 lit by the ballroom lat-long envmap, fov-80
+    camera with a mirrored to_world.  Assets are the reference's own,
+    loaded at runtime (never copied); raises FileNotFoundError if absent.
+    """
+    import os
+
+    if not (os.path.exists(bunny_path) and os.path.exists(envmap_path)):
+        raise FileNotFoundError("reference tutorial assets not available")
+    import jax.numpy as jnp
+
+    sc = psdr.Scene()
+    sc.opts = psdr.RenderOption(width, height, spp, sppe, sppse)
+    sensor = psdr.PerspectiveCamera(80, 0.000001, 10000000.0)
+    sensor.to_world = jnp.asarray(
+        [[-1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, -1.0, 0], [0, 0, 0, 1.0]],
+        jnp.float32)
+    sc.add_Sensor(sensor)
+    sc.add_BSDF(
+        psdr.MicrofacetBSDF([0.2, 0.9, 0.9], [0.01] * 3, 0.3), "bunny")
+    eye = jnp.eye(4, dtype=jnp.float32)
+    sc.add_Mesh(bunny_path, eye.at[2, 3].set(-100.0), "bunny", None)
+    sc.add_EnvironmentMap(envmap_path, np.eye(4, dtype=np.float32), 1.0)
+    return sc
+
+
 def _box_quads(cx, cy, cz, sx, sy, sz, ry=0.0):
     """Axis-aligned box quads centered at (cx,cy,cz), rotated ``ry`` rad
     about +y.  Outward-facing winding."""
