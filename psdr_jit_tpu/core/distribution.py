@@ -50,15 +50,104 @@ def _sample_dense(cdf, pmf, scaled):
     return idx.reshape(shape), p.reshape(shape), lower.reshape(shape)
 
 
+def _build_alias_rows(pmf):
+    """Walker alias table as one packed (N, 4) f32 matrix:
+    columns = (prob, alias_idx, pmf_self, pmf_alias).
+
+    Host-side numpy (O(N), the classic two-queue construction): callable
+    only on CONCRETE masses — i.e. from ``Scene.configure()`` /
+    ``preprocess_secondary_edges``, both of which run outside any trace.
+    Sampling then needs ONE per-lane row gather instead of log2(N)
+    scalar-table gathers: the binary search over the ~2M-cell envmap
+    importance CDF measured 692 ms/step (34% of the whole envmap training
+    step) on v5e (scripts/envmap_profile.py, 2026-08-19); a row gather of
+    the same lane count costs ~15 ms.
+    """
+    import numpy as np
+
+    p = np.asarray(pmf, np.float64)
+    n = p.shape[0]
+    total = p.sum()
+    if not (total > 0.0) or n == 0:
+        # degenerate: uniform fallback (matches sample_reuse's safe_div=0
+        # path closely enough — such tables are never sampled usefully)
+        rows = np.zeros((max(n, 1), 4), np.float32)
+        rows[:, 0] = 1.0
+        rows[:, 1] = np.arange(max(n, 1))
+        return jnp.asarray(rows)
+    scaled = p * (n / total)
+    prob = np.ones(n, np.float64)
+    alias = np.arange(n, dtype=np.int64)
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = (scaled[l] + scaled[s]) - 1.0
+        (small if scaled[l] < 1.0 else large).append(l)
+    for i in small + large:
+        prob[i] = 1.0
+    rows = np.empty((n, 4), np.float32)
+    rows[:, 0] = prob
+    rows[:, 1] = alias
+    rows[:, 2] = p
+    rows[:, 3] = p[alias]
+    return jnp.asarray(rows)
+
+
 @pytree
 class DiscreteDistribution:
     pmf: Any  # (N,) unnormalized masses
     cdf: Any  # (N,) inclusive cumulative sum
+    # optional packed Walker alias table (N, 4): O(1)-gather sampling for
+    # big tables; None => CDF search (see _build_alias_rows)
+    alias_rows: Any = None
 
     @staticmethod
     def init(pmf) -> "DiscreteDistribution":
         pmf = jax.lax.stop_gradient(jnp.asarray(pmf, jnp.float32))
         return DiscreteDistribution(pmf=pmf, cdf=jnp.cumsum(pmf))
+
+    def with_alias(self) -> "DiscreteDistribution":
+        """Attach the alias table (requires concrete masses; host-side)."""
+        if self.size <= SEARCHSORTED_DENSE_MAX:
+            return self  # dense compare path is already gather-free
+        return DiscreteDistribution(
+            pmf=self.pmf, cdf=self.cdf,
+            alias_rows=_build_alias_rows(self.pmf),
+        )
+
+    def _sample_alias(self, u):
+        """(idx, pmf[idx], u') via ONE (lane, 4) row gather.
+
+        Exactly the target distribution (P(i) = pmf_i/total by alias-table
+        construction) with the standard sample-reuse conditioning; the
+        u->idx mapping differs from CDF inversion, so sequences differ
+        from the reference draw-for-draw while every estimator using them
+        stays unbiased.
+        """
+        n = self.size
+        un = u * n
+        j = jnp.clip(un.astype(jnp.int32), 0, n - 1)
+        f = un - j.astype(jnp.float32)
+        rows = jnp.take(self.alias_rows, j, axis=0)
+        prob, alias, p_self, p_other = (
+            rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3]
+        )
+        take_self = f < prob
+        idx = jnp.where(take_self, j, alias.astype(jnp.int32))
+        p = jnp.where(take_self, p_self, p_other)
+        u_new = jnp.clip(
+            jnp.where(
+                take_self,
+                safe_div(f, prob),
+                safe_div(f - prob, jnp.maximum(1.0 - prob, 1e-12)),
+            ),
+            0.0, 1.0,
+        )
+        return idx, p, u_new
 
     @property
     def size(self) -> int:
@@ -79,6 +168,9 @@ class DiscreteDistribution:
 
     def sample(self, u):
         """Return (idx, normalized pdf) for uniform samples ``u``."""
+        if self.alias_rows is not None:
+            idx, p, _ = self._sample_alias(u)
+            return idx, p / self.total
         scaled = u * self.total
         if self.size <= SEARCHSORTED_DENSE_MAX:
             idx, p, _ = _sample_dense(self.cdf, self.pmf, scaled)
@@ -92,6 +184,9 @@ class DiscreteDistribution:
         if self.size == 1:
             idx = jnp.zeros(u.shape, jnp.int32)
             return idx, jnp.ones_like(u), u
+        if self.alias_rows is not None:
+            idx, p, u_new = self._sample_alias(u)
+            return idx, p / self.total, u_new
         scaled = u * self.total
         if self.size <= SEARCHSORTED_DENSE_MAX:
             idx, p, lower = _sample_dense(self.cdf, self.pmf, scaled)
@@ -130,6 +225,12 @@ class HyperCubeDistribution:
         for r in self.res:
             n *= r
         return n
+
+    def with_alias(self) -> "HyperCubeDistribution":
+        """O(1)-gather cell sampling (requires concrete masses)."""
+        return HyperCubeDistribution(
+            res=self.res, distrb=self.distrb.with_alias()
+        )
 
     def cell_coords(self, idx):
         """Unflatten cell index -> integer coords, row-major over res."""

@@ -206,7 +206,12 @@ class SecondaryEdgeMixin:
             )
         if nrounds > 1:
             result = result / float(nrounds)
-        self.warpper[sensor_id] = HyperCubeDistribution.init(grid, result)
+        # concrete masses (this runs eagerly, outside any trace): attach
+        # the alias table so guided SE sampling costs one row gather per
+        # lane instead of a log2(cells) CDF search (core/distribution.py)
+        self.warpper[sensor_id] = HyperCubeDistribution.init(
+            grid, jax.device_get(result)
+        ).with_alias()
 
     def render_secondary_edges(self, sd: SceneData, opts, sensor_id, seed,
                                lane_offset=None, lane_count=None,

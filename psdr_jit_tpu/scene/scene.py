@@ -753,9 +753,13 @@ class Scene(Object):
                 if isinstance(em, EnvironmentMap) and not isinstance(
                     em.radiance.data, jax.core.Tracer
                 ):
+                    # alias table: O(1)-gather cell sampling — the CDF
+                    # binary search over this (~8M-cell for a 1k envmap)
+                    # table measured 692 ms/step in the NEE of the envmap
+                    # training step (scripts/envmap_profile.py)
                     em._cell_distrb_cache = jax.lax.stop_gradient(
                         build_envmap_distribution(em.radiance)
-                    )
+                    ).with_alias()
             self._data = self.configure_data(active_sensors)
             if self.opts.log_level > 0:
                 jax.block_until_ready(jax.tree_util.tree_leaves(self._data))

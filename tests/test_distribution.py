@@ -48,6 +48,57 @@ def test_discrete_zero_mass_never_sampled():
     assert set(np.unique(idx)) <= {1, 3}
 
 
+def _force_alias(d):
+    """Attach the alias table regardless of size (the production path only
+    builds it above SEARCHSORTED_DENSE_MAX)."""
+    from psdr_jit_tpu.core.distribution import _build_alias_rows
+
+    return DiscreteDistribution(
+        pmf=d.pmf, cdf=d.cdf, alias_rows=_build_alias_rows(d.pmf)
+    )
+
+
+def test_alias_histogram_and_pdf_match_pmf():
+    """Walker alias sampling (the big-table O(1)-gather path) draws exactly
+    the pmf distribution and reports the same pdf as the CDF path."""
+    rng = np.random.default_rng(0)
+    pmf = jnp.asarray(rng.uniform(0.0, 1.0, 500).astype(np.float32) ** 3)
+    d = _force_alias(DiscreteDistribution.init(pmf))
+    n = 400_000
+    u = Sampler(3, jnp.arange(n, dtype=jnp.uint32)).next_1d()
+    idx, p, u2 = d.sample_reuse(u)
+    idx = np.asarray(idx)
+    expect = np.asarray(pmf) / float(np.asarray(pmf).sum())
+    counts = np.bincount(idx, minlength=500) / n
+    np.testing.assert_allclose(counts, expect, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(p), expect[idx], rtol=1e-5)
+    # reused number stays uniform: aggregate moments
+    u2 = np.asarray(u2)
+    assert 0.0 <= u2.min() and u2.max() <= 1.0
+    assert abs(u2.mean() - 0.5) < 2e-3
+    assert abs(u2.var() - 1.0 / 12.0) < 2e-3
+
+
+def test_alias_zero_mass_never_sampled():
+    pmf = jnp.zeros(300).at[17].set(1.0).at[200].set(3.0)
+    d = _force_alias(DiscreteDistribution.init(pmf))
+    u = Sampler(4, jnp.arange(100_000, dtype=jnp.uint32)).next_1d()
+    idx, p, _ = d.sample_reuse(u)
+    assert set(np.unique(np.asarray(idx))) <= {17, 200}
+    assert np.asarray(p).min() > 0.0
+
+
+def test_with_alias_threshold():
+    """with_alias() is a no-op for dense-path tables, attaches rows above."""
+    small = DiscreteDistribution.init(jnp.ones(64)).with_alias()
+    assert small.alias_rows is None
+    big = DiscreteDistribution.init(jnp.ones(4096)).with_alias()
+    assert big.alias_rows is not None and big.alias_rows.shape == (4096, 4)
+    u = Sampler(5, jnp.arange(50_000, dtype=jnp.uint32)).next_1d()
+    idx, p, u2 = big.sample_reuse(u)
+    np.testing.assert_allclose(np.asarray(p), 1.0 / 4096, rtol=1e-5)
+
+
 def test_hypercube_2d_warp():
     """Warped samples land in cells with frequency prop. to mass, the
     returned pdf matches pdf(), and pdf integrates to 1."""
