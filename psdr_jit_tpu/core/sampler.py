@@ -38,8 +38,13 @@ def pcg4d(a, b, c, d):
 
 
 def _u32_to_unit_float(u):
-    """Map u32 -> float32 in [0, 1) using the top 24 bits."""
-    return (u >> 8).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+    """Map u32 -> float32 in [0, 1) using the top 24 bits.
+
+    Via int32 (exact: the shifted value is < 2^24) because Mosaic does not
+    lower uint32->float32 casts inside Pallas TPU kernels."""
+    return (u >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / 16777216.0
+    )
 
 
 class Sampler:

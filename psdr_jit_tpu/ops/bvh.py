@@ -50,6 +50,10 @@ CLUSTER = 64         # cluster granularity inside a block
 # rays per tile = TILE_ROWS * LANES; smaller tiles cull tighter but pay more
 # grid-step overhead (sweepable for experiments)
 TILE_ROWS = int(_os.environ.get("PSDR_BVH_TILE_ROWS", "64"))
+# A/B knobs, read at TRACE time (scripts/gallery_ab.py re-jits per variant):
+# disable the front-to-back early-out / dead-lane parking to measure each
+EARLY_OUT = _os.environ.get("PSDR_BVH_EARLYOUT", "1") != "0"
+PARK_DEAD = _os.environ.get("PSDR_BVH_PARK", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -169,11 +173,15 @@ def tile_block_visit(ray_o, ray_d, block_lo, block_hi, tile_rays: int):
 
 
 def build_fetch_list(visit, t_near=None):
-    """(T, B) bool -> (fetch (T, B) int32, counts (T,) int32): visited block
-    indices first — FRONT-TO-BACK by conservative entry distance when
-    ``t_near`` is given, so the kernel's closest-hit improvement test can
-    skip far blocks — padding repeats the last visited block so the Pallas
-    pipeline skips the redundant DMA."""
+    """(T, B) bool -> (fetch (T, B) int32, counts (T,) int32, tnear (T, B)
+    f32): visited block indices first — FRONT-TO-BACK by conservative entry
+    distance when ``t_near`` is given, so the kernel's closest-hit
+    improvement test can skip far blocks — padding repeats the last visited
+    block so the Pallas pipeline skips the redundant DMA.  ``tnear`` is the
+    per-fetch-slot conservative entry distance (0 when unknown): once every
+    ray of a tile holds a hit closer than slot k's entry, no later slot can
+    improve it and the kernel skips the sweep (its DMA already happened —
+    this saves the dominant ALU, not bandwidth)."""
     n_tiles, n_blocks = visit.shape
     if t_near is None:
         order = jnp.argsort(~visit, axis=1, stable=True).astype(jnp.int32)
@@ -184,7 +192,13 @@ def build_fetch_list(visit, t_near=None):
     k = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
     clamp = jnp.minimum(k, jnp.maximum(counts - 1, 0)[:, None])
     fetch = jnp.take_along_axis(order, clamp, axis=1)
-    return fetch, counts
+    if t_near is None:
+        tnear_slots = jnp.zeros(visit.shape, jnp.float32)
+    else:
+        tnear_slots = jnp.take_along_axis(
+            jnp.maximum(t_near, 0.0), fetch, axis=1
+        )
+    return fetch, counts, tnear_slots
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +208,7 @@ def build_fetch_list(visit, t_near=None):
 def _kernel_indexed():
     from .intersect_pallas import sweep_block
 
-    def kernel(fetch_ref, cnt_ref, tri_ref, box_ref,
+    def kernel(fetch_ref, cnt_ref, tnear_ref, tri_ref, box_ref,
                ox, oy, oz, dx, dy, dz,
                out_t, out_id, out_u, out_v):
         """tri_ref: (1, 9, SUPER) SMEM block chosen by fetch_ref;
@@ -215,7 +229,10 @@ def _kernel_indexed():
             out_u[...] = jnp.zeros(shape, jnp.float32)
             out_v[...] = jnp.zeros(shape, jnp.float32)
 
-        @pl.when(k < cnt_ref[i])
+        # front-to-back early-out: slot k's conservative entry distance is
+        # a floor on any new hit it could produce; when every lane already
+        # holds a closer hit, skip the 512-triangle sweep entirely
+        @pl.when((k < cnt_ref[i]) & jnp.any(out_t[...] > tnear_ref[i, k]))
         def _():
             rays = (ox[...], oy[...], oz[...], dx[...], dy[...], dz[...])
             init = (out_t[...], out_id[...], out_u[...], out_v[...])
@@ -233,7 +250,8 @@ def _kernel_indexed():
     return kernel
 
 
-def _call_indexed(tri_s, boxes_s, fetch, counts, ray_comps, interpret):
+def _call_indexed(tri_s, boxes_s, fetch, counts, tnear_slots, ray_comps,
+                  interpret):
     """tri_s: (n_blocks, 9, SUPER); boxes_s: (n_blocks, 6, SUPER//64);
     fetch: (n_tiles, kmax); counts: (n_tiles,); rays: (n_rows, 128)."""
     n_blocks = tri_s.shape[0]
@@ -245,16 +263,17 @@ def _call_indexed(tri_s, boxes_s, fetch, counts, ray_comps, interpret):
         (TILE_ROWS, LANES), lambda i, k, *_: (i, 0), memory_space=pltpu.VMEM
     )
     tri_spec = pl.BlockSpec(
-        (1, 9, SUPER), lambda i, k, fetch_ref, cnt_ref: (fetch_ref[i, k], 0, 0),
+        (1, 9, SUPER),
+        lambda i, k, fetch_ref, *_: (fetch_ref[i, k], 0, 0),
         memory_space=pltpu.SMEM,
     )
     box_spec = pl.BlockSpec(
         (1, 6, SUPER // CLUSTER),
-        lambda i, k, fetch_ref, cnt_ref: (fetch_ref[i, k], 0, 0),
+        lambda i, k, fetch_ref, *_: (fetch_ref[i, k], 0, 0),
         memory_space=pltpu.SMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles, kmax),
         in_specs=[tri_spec, box_spec] + [ray_spec] * 6,
         out_specs=[ray_spec] * 4,
@@ -269,7 +288,7 @@ def _call_indexed(tri_s, boxes_s, fetch, counts, ray_comps, interpret):
             jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(fetch, counts, tri_s, boxes_s, *ray_comps)
+    )(fetch, counts, tnear_slots, tri_s, boxes_s, *ray_comps)
     out_t, out_id, out_u, out_v = out
     out_id = jnp.where(out_t < _INF, out_id, -1)
     return out_t, out_id, out_u, out_v
@@ -280,7 +299,7 @@ def _call_indexed(tri_s, boxes_s, fetch, counts, ray_comps, interpret):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("interpret", "sort"))
-def ray_intersect_bvh(p0, e1, e2, ray_o, ray_d,
+def ray_intersect_bvh(p0, e1, e2, ray_o, ray_d, active=None,
                       interpret: bool = False, sort: bool = True):
     """Closest hit via sorted rays + tile-culled block streaming.
 
@@ -288,9 +307,34 @@ def ray_intersect_bvh(p0, e1, e2, ray_o, ray_d,
     configure); returned ids refer to the given order.  Equivalent results
     to :func:`intersect_pallas.ray_intersect_pallas` — selected by the
     dispatcher for large scenes where per-tile block culling wins.
+
+    ``active``: optional per-ray liveness.  Inactive lanes are PARKED on a
+    point outside the scene AABB pointing away from it: the sort clusters
+    them into their own tiles, those tiles cull every block, and the
+    per-bounce wavefront sheds its dead lanes for (almost) free — the TPU
+    answer to CUDA wavefront compaction (a dead lane otherwise still pays
+    every visited block's sweep, and worse, mixing dead lanes into a live
+    tile inflates its origin box and defeats culling).
     """
     f = p0.shape[0]
     n = ray_o.shape[0]
+
+    if not PARK_DEAD:
+        active = None
+    if active is not None:
+        hi_scene = jnp.max(
+            jnp.maximum(jnp.maximum(p0, p0 + e1), p0 + e2), axis=0
+        )
+        lo_scene = jnp.min(
+            jnp.minimum(jnp.minimum(p0, p0 + e1), p0 + e2), axis=0
+        )
+        park = hi_scene + 0.5 * jnp.maximum(hi_scene - lo_scene, 1.0)
+        # +z from above the scene top never re-enters any block
+        ray_o = jnp.where(active[:, None], ray_o, park)
+        ray_d = jnp.where(
+            active[:, None], ray_d,
+            jnp.asarray([0.0, 0.0, 1.0], ray_d.dtype),
+        )
 
     f_pad = -(-f // SUPER) * SUPER
     if f_pad != f:
@@ -337,14 +381,18 @@ def ray_intersect_bvh(p0, e1, e2, ray_o, ray_d,
     # padding block gets a point AABB and is culled for most tiles anyway.
 
     visit, t_near = tile_block_visit(ray_o, ray_d, block_lo, block_hi, tile)
-    fetch, counts = build_fetch_list(visit, t_near)
+    fetch, counts, tnear_slots = build_fetch_list(visit, t_near)
+    if not EARLY_OUT:
+        # zeros never beat out_t (INF-initialized, hits have t > 0): the
+        # kernel's skip condition is permanently true => always sweep
+        tnear_slots = jnp.zeros_like(tnear_slots)
 
     ray_comps = [
         ray_o[:, i].reshape(n_pad // LANES, LANES) for i in range(3)
     ] + [ray_d[:, i].reshape(n_pad // LANES, LANES) for i in range(3)]
 
     out_t, out_id, out_u, out_v = _call_indexed(
-        tri_s, boxes_s, fetch, counts, ray_comps, interpret
+        tri_s, boxes_s, fetch, counts, tnear_slots, ray_comps, interpret
     )
 
     tri_id = out_id.reshape(-1)

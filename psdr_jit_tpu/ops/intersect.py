@@ -197,7 +197,11 @@ def ray_intersect_detached(tri_p0, tri_e1, tri_e2, ray, active=None,
     if use_pallas:
         from .intersect_pallas import ray_intersect_pallas
 
-        tri_id, valid, uv, t = ray_intersect_pallas(p0, e1, e2, o2, d2)
+        # liveness reaches the BVH path so dead/NaN lanes are parked
+        # outside the scene (tile-level wavefront compaction, ops/bvh.py)
+        tri_id, valid, uv, t = ray_intersect_pallas(
+            p0, e1, e2, o2, d2, active=finite.reshape(-1)
+        )
     else:
         tri_id, valid, uv, t = ray_intersect_brute(p0, e1, e2, o2, d2)
 

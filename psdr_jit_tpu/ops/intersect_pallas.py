@@ -28,6 +28,7 @@ which wastes 122/128 of the MXU — this workload belongs on the VPU).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -39,8 +40,11 @@ from ..core.types import RAY_EPSILON
 _INF = 1e30
 LANES = 128
 MAX_KERNEL_TRIS = 1 << 20  # above this, fall back to the blocked JAX path
-BVH_MIN_TRIS = 16384       # above this, the sorted-ray block-culled path
-                           # (ops/bvh.py) replaces dense block streaming
+# above this, the sorted-ray block-culled path (ops/bvh.py) replaces dense
+# block streaming (env-overridable for mid-size-scene A/B: the 5k-tri bunny
+# under the envmap spends ~600 ms/step in dense streaming — culling may win
+# well below the default cutoff, scripts/envmap_profile.py)
+BVH_MIN_TRIS = int(_os.environ.get("PSDR_BVH_MIN_TRIS", "16384"))
 
 # Small scenes use a scalar-triangle loop with SMEM-prefetched triangle
 # data — ~2x faster than the rotation kernel because it never pads the
@@ -269,13 +273,16 @@ def _call_small(f_pad, n_pad, tri, boxes, ray_comps, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, interpret: bool = False):
+def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, active=None,
+                         interpret: bool = False):
     """Closest hit for (N, 3) rays against (F, 3) triangles.
 
     Returns ``(tri_id, valid, uv, t)`` — the OptiX payload contract
     (scene_optix.cpp:400-404).  Triangle order should be cluster-friendly
     (the scene layer Morton-sorts at configure time); returned ids refer to
-    the order given here.
+    the order given here.  ``active`` is consumed only by the BVH path
+    (dead-lane parking); the dense kernels ignore it (a masked lane's
+    result is discarded by the caller and costs nothing extra here).
 
     NOTE on hit selection: within a block, later-visited triangles win ties
     and equal-t races are broken by visit order (not lowest id); tri_id may
@@ -290,7 +297,8 @@ def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, interpret: bool = False):
     if f > BVH_MIN_TRIS:
         from .bvh import ray_intersect_bvh
 
-        return ray_intersect_bvh(p0, e1, e2, ray_o, ray_d, interpret=interpret)
+        return ray_intersect_bvh(p0, e1, e2, ray_o, ray_d, active=active,
+                                 interpret=interpret)
 
     n = ray_o.shape[0]
     small = f <= SMALL_MAX_TRIS

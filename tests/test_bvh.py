@@ -63,17 +63,20 @@ def test_build_fetch_list():
         [False, False, False, False],
         [True, True, True, True],
     ])
-    fetch, counts = build_fetch_list(visit)
+    fetch, counts, tn0 = build_fetch_list(visit)
     fetch, counts = np.asarray(fetch), np.asarray(counts)
     np.testing.assert_array_equal(counts, [2, 0, 4])
     np.testing.assert_array_equal(fetch[0], [1, 3, 3, 3])  # pad repeats last
     np.testing.assert_array_equal(fetch[2], [0, 1, 2, 3])
     # front-to-back ordering by entry distance
     tn = jnp.asarray([[9., 1., 9., 5.], [0.] * 4, [3., 2., 1., 0.]])
-    fetch2, counts2 = build_fetch_list(visit, tn)
+    fetch2, counts2, tns = build_fetch_list(visit, tn)
     np.testing.assert_array_equal(np.asarray(counts2), [2, 0, 4])
     np.testing.assert_array_equal(np.asarray(fetch2)[0], [1, 3, 3, 3])
     np.testing.assert_array_equal(np.asarray(fetch2)[2], [3, 2, 1, 0])
+    # per-slot conservative entry distances follow the fetch order
+    np.testing.assert_array_equal(np.asarray(tns)[2], [0., 1., 2., 3.])
+    np.testing.assert_array_equal(np.asarray(tn0), np.zeros((3, 4)))
 
 
 def _run(p0, e1, e2, ro, rd, sort=True):
@@ -165,3 +168,25 @@ def test_bvh_cross_block_closest_hit():
     tri_id, t = np.asarray(tri_id), np.asarray(t)
     assert tri_id[0] == 700 and abs(t[0] - 0.5) < 1e-5
     assert tri_id[2] == 0 and abs(t[2] - 1.0) < 1e-5
+
+
+def test_bvh_dead_lane_parking():
+    """Inactive lanes are parked outside the scene: they return no hits and
+    live lanes' results are unchanged vs the all-active call."""
+    p0, e1, e2, ro, rd = _random_scene(n_tri=600, n_ray=512, seed=23)
+    rng = np.random.default_rng(24)
+    active = jnp.asarray(rng.uniform(size=512) < 0.4)
+    tri_a, val_a, uv_a, t_a = ray_intersect_bvh(
+        jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2),
+        jnp.asarray(ro), jnp.asarray(rd), interpret=True)
+    tri_p, val_p, uv_p, t_p = ray_intersect_bvh(
+        jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2),
+        jnp.asarray(ro), jnp.asarray(rd), active=active, interpret=True)
+    live = np.asarray(active)
+    # parked lanes never hit
+    assert not np.asarray(val_p)[~live].any()
+    # live lanes identical to the unparked call
+    np.testing.assert_array_equal(np.asarray(tri_a)[live],
+                                  np.asarray(tri_p)[live])
+    np.testing.assert_allclose(np.asarray(t_a)[live],
+                               np.asarray(t_p)[live], rtol=1e-6)

@@ -126,8 +126,9 @@ def test_detached_scrubs_rays_for_bvh_scale_scenes(monkeypatch):
 
     seen = {}
 
-    def fake_pallas(p0, e1, e2, o2, d2, interpret=False):
+    def fake_pallas(p0, e1, e2, o2, d2, active=None, interpret=False):
         seen["o"], seen["d"] = np.asarray(o2), np.asarray(d2)
+        seen["active"] = None if active is None else np.asarray(active)
         n = o2.shape[0]
         return (jnp.full((n,), -1, jnp.int32), jnp.zeros((n,), bool),
                 jnp.zeros((n, 2), jnp.float32), jnp.full((n,), 1e30))
@@ -137,3 +138,7 @@ def test_detached_scrubs_rays_for_bvh_scale_scenes(monkeypatch):
         p0, e1, e2, Ray(jnp.asarray(ro), jnp.asarray(rd)), backend="pallas"
     )
     assert np.isfinite(seen["o"]).all() and np.isfinite(seen["d"]).all()
+    # and the corrupt lanes are flagged dead for BVH-path parking
+    assert seen["active"] is not None
+    assert not seen["active"][3] and not seen["active"][7]
+    assert seen["active"].sum() == 14
