@@ -136,6 +136,76 @@ def _time_jaxgrad(sc, integ, mesh, em):
     return dt
 
 
+def _time_envmap():
+    """BASELINE config #3 workload: Microfacet bunny (4968 tris, streamed-
+    SMEM intersect path) under the 1k ballroom envmap, all three estimators
+    with 3D-guided secondary edges, one fused training step (grad w.r.t.
+    bunny vertices + envmap radiance texture).  Exercises the big-table
+    alias sampling, the bilinear texture fetches, and the >512-tri
+    intersect regime that the cbox headline never touches.  Returns
+    (ms_per_step, mrays) or None when the reference tutorial assets are
+    unavailable."""
+    from scenes import make_bunny_envmap
+
+    res = 128
+    try:
+        sc = make_bunny_envmap(width=res, height=res, spp=SPP, sppe=SPPE,
+                               sppse=SPPSE)
+    except FileNotFoundError:
+        return None
+    sc.configure()
+    integ = psdr.PathTracer(max_depth=1)
+    integ.preprocess_secondary_edges(sc, 0, [2000, 5, 5, 32], 1)
+    mesh = sc.meshes[0]
+    em = sc.emitter_env
+    bv, br = mesh.vertex_positions_raw, em.radiance
+    import numpy as _np
+    target = jnp.asarray(
+        _np.random.default_rng(0).random((res * res, 3)), jnp.float32
+    )
+
+    def apply(p):
+        dv, dr = p
+        mesh.vertex_positions_raw = bv + dv
+        em.radiance = jax.tree_util.tree_map(jnp.add, br, dr)
+
+    def step(p, s, tgt):
+        def ploss(rows, pix):
+            return jnp.sum(jnp.square(rows - tgt[pix]), axis=-1)
+        return integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
+
+    fn = jax.jit(step)
+    p0 = (jnp.zeros_like(bv), jax.tree_util.tree_map(jnp.zeros_like, br))
+    dt = _time_fn(fn, lambda i: (p0, i, target))
+    mesh.vertex_positions_raw = bv
+    em.radiance = br
+    rays = res * res * (SPP * 3 + SPPE * 2 * 3 + SPPSE * 3)
+    return 1e3 * dt, rays / dt / 1e6
+
+
+def _time_large():
+    """End-to-end 100k-triangle render (gallery of icospheres): renderC
+    through the sorted-ray block-culled BVH path inside a real multi-bounce
+    render — validates the acceleration structure at render level, not just
+    raw intersection (scripts/bvh_perf.py).  Forward-only metric."""
+    from scenes import make_gallery
+
+    res, spp, depth = 256, 4, 2
+    sc = make_gallery(width=res, height=res, spp=spp)
+    sc.configure()
+    integ = psdr.PathTracer(max_depth=depth)
+    sd = jax.lax.stop_gradient(sc.data)
+
+    def fwd(sd_, s):
+        return integ.render_impl(sd_, sc.opts, 0, s, None, "C")
+
+    fn = jax.jit(fwd)
+    dt = _time_fn(lambda s: fn(sd, s), lambda i: (jnp.uint32(i),))
+    rays = res * res * spp * (1 + 2 * depth)
+    n_tris = sum(m.num_faces for m in sc.meshes)
+    return 1e3 * dt, rays / dt / 1e6, n_tris
+
+
 def main():
     n_pix = WIDTH * HEIGHT
     rays_interior = n_pix * SPP * (1 + 2 * DEPTH)
@@ -172,7 +242,10 @@ def main():
                           mesh_f, em_f)
     mrays_jg = rays_full / dt_jg / 1e6
 
-    print(json.dumps({
+    # envmap/Microfacet workload (BASELINE config #3; second metric)
+    env = _time_envmap()
+
+    out = {
         "metric": "cbox512_spp32_sppe32_sppse32_depth3_fwdbwd",
         "value": round(mrays_full, 3),
         "unit": "Mrays/s",
@@ -180,7 +253,17 @@ def main():
         "interior_only_mrays": round(mrays_int, 3),
         "interior_vs_baseline": round(mrays_int / sol_mrays, 4),
         "jaxgrad_full_mrays": round(mrays_jg, 3),
-    }))
+    }
+    if env is not None:
+        out["envmap128_guided_ms_step"] = round(env[0], 1)
+        out["envmap128_guided_mrays"] = round(env[1], 3)
+
+    # 100k-triangle gallery renderC (BVH path, end-to-end)
+    big = _time_large()
+    out["large_scene_tris"] = big[2]
+    out["large_scene_ms_frame"] = round(big[0], 1)
+    out["large_scene_mrays"] = round(big[1], 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -126,6 +126,108 @@ def make_bunny_envmap(width=128, height=128, spp=32, sppe=0, sppse=0,
     return sc
 
 
+def _icosphere(subdiv: int):
+    """Unit icosphere: icosahedron subdivided ``subdiv`` times
+    (20 * 4^subdiv faces).  Procedural — classic construction."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    v = np.asarray([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+    ], np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.asarray([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ], np.int64)
+    for _ in range(subdiv):
+        edges = {}
+        verts = list(v)
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edges:
+                m = verts[a] + verts[b]
+                verts.append(m / np.linalg.norm(m))
+                edges[key] = len(verts) - 1
+            return edges[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        v = np.asarray(verts)
+        f = np.asarray(nf, np.int64)
+    return v.astype(np.float32), f.astype(np.int32)
+
+
+def make_gallery(width=128, height=128, spp=4, sppe=0, sppse=0,
+                 n_spheres=80, subdiv=3, seed=0):
+    """Large-scene end-to-end workload: a lit box room filled with a jittered
+    grid of smooth-shaded icospheres — ``n_spheres * 20 * 4^subdiv``
+    triangles (default 102,400), exercising the sorted-ray block-culled BVH
+    path inside a real render (the reference handles such scenes natively
+    through its compacted OptiX GAS, scene_optix.cpp:265-333)."""
+    sc = psdr.Scene()
+    sc.opts = psdr.RenderOption(width, height, spp, sppe, sppse)
+
+    cam = psdr.PerspectiveCamera(55.0, 1e-4, 1e5)
+    cam.to_world = np.array(
+        [[1.0, 0, 0, 5.0], [0, 1.0, 0, 5.0], [0, 0, 1.0, -9.0],
+         [0, 0, 0, 1.0]], np.float32
+    )
+    sc.add_Sensor(cam)
+
+    sc.add_BSDF(psdr.DiffuseBSDF([0.0, 0.0, 0.0]), "light")
+    sc.add_BSDF(psdr.DiffuseBSDF([0.75, 0.73, 0.70]), "wall")
+    for i in range(6):
+        sc.add_BSDF(psdr.DiffuseBSDF(
+            [0.2 + 0.12 * (i % 3), 0.25 + 0.1 * ((i + 1) % 3),
+             0.3 + 0.11 * ((i + 2) % 3)]), f"m{i}")
+
+    light = _quads_to_mesh(
+        [[(3.5, 9.98, 3.5), (6.5, 9.98, 3.5), (6.5, 9.98, 6.5),
+          (3.5, 9.98, 6.5)]]
+    )
+    sc.add_Mesh(light, None, "light", psdr.AreaLight((40.0, 38.0, 34.0)))
+
+    # envelope box [0,10]^3, open front
+    sc.add_Mesh(_quads_to_mesh(
+        [[(0, 0, 0), (0, 0, 10), (10, 0, 10), (10, 0, 0)]]), None, "wall")
+    sc.add_Mesh(_quads_to_mesh(
+        [[(0, 10, 0), (10, 10, 0), (10, 10, 10), (0, 10, 10)]]), None,
+        "wall")
+    sc.add_Mesh(_quads_to_mesh(
+        [[(0, 0, 10), (0, 10, 10), (10, 10, 10), (10, 0, 10)]]), None,
+        "wall")
+    sc.add_Mesh(_quads_to_mesh(
+        [[(0, 0, 0), (0, 10, 0), (0, 10, 10), (0, 0, 10)]]), None, "wall")
+    sc.add_Mesh(_quads_to_mesh(
+        [[(10, 0, 0), (10, 0, 10), (10, 10, 10), (10, 10, 0)]]), None,
+        "wall")
+
+    rng = np.random.default_rng(seed)
+    sv, sf = _icosphere(subdiv)
+    side = int(np.ceil(n_spheres ** (1.0 / 3.0)))
+    placed = 0
+    for ix in range(side):
+        for iy in range(side):
+            for iz in range(side):
+                if placed >= n_spheres:
+                    break
+                c = (np.asarray([ix, iy, iz]) + 0.5) / side * 8.0 + 1.0
+                c += rng.uniform(-0.3, 0.3, 3)
+                r = rng.uniform(0.35, 0.6)
+                m = psdr.Mesh()
+                m.enable_edges = False  # edge terms off for the gallery
+                m.load_raw(sv * r + c[None, :], sf)
+                sc.add_Mesh(m, None, f"m{placed % 6}")
+                placed += 1
+    return sc
+
+
 def _box_quads(cx, cy, cz, sx, sy, sz, ry=0.0):
     """Axis-aligned box quads centered at (cx,cy,cz), rotated ``ry`` rad
     about +y.  Outward-facing winding."""
