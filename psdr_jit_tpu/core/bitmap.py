@@ -68,10 +68,28 @@ def _eval_bitmap(data, scale, rot, trans, uv, flip_v: bool, envmap_mode: bool):
     xp1 = jnp.clip(xp1, 0, w - 1)
     py = jnp.clip(py, 0, h - 1)
 
-    v00 = data[py, px]
-    v10 = data[py, xp1]
-    v01 = data[py + 1, px]
-    v11 = data[py + 1, xp1]
+    # ONE packed (H, W, 4C) gather instead of four (H, W, C) gathers: every
+    # gathered row costs a full (8,128) tile of HBM traffic regardless of
+    # width, so the 4 taps of a (N,) lane batch measured 176 ms/step on the
+    # envmap workload as separate fetches (scripts/attribute_profile.py,
+    # bitmap.py:71-74, 2026-08-19).  The +1 neighbours are PRE-SHIFTED into
+    # the packed table with rolls (differentiable; the wrap rows/cols are
+    # never addressed: xp1 is mod w in envmap mode and <= w-1 after the
+    # clips otherwise, py+1 <= h-1 by the min above — and for h == 1 the
+    # wrap row equals the clamp row the old out-of-range gather clipped
+    # to).  Backward improves the same way: one scatter-add transpose
+    # instead of four.
+    rx = jnp.roll(data, -1, axis=1)
+    packed = jnp.concatenate([
+        data, rx,
+        jnp.roll(data, -1, axis=0), jnp.roll(rx, -1, axis=0),
+    ], axis=-1)
+    taps = packed[py, px]
+    nc = data.shape[-1]
+    v00 = taps[..., 0:nc]
+    v10 = taps[..., nc:2 * nc]
+    v01 = taps[..., 2 * nc:3 * nc]
+    v11 = taps[..., 3 * nc:4 * nc]
     w0x, w0y = 1.0 - w1x, 1.0 - w1y
     v0 = w0x[..., None] * v00 + w1x[..., None] * v10
     v1 = w0x[..., None] * v01 + w1x[..., None] * v11

@@ -80,10 +80,9 @@ def _morton10(p, lo, inv_extent):
     )
 
 
-def sort_rays(ray_o, ray_d):
-    """Return (perm, inv_perm) ordering rays by
-    (direction octant + coarse origin cell, direction Morton, fine origin
-    Morton).
+def _ray_sort_keys(ray_o, ray_d):
+    """Sort keys ordering rays by (direction octant + coarse origin cell,
+    direction Morton, fine origin Morton).
 
     Key order matters for the tile culling bounds: sorting fine origin
     before direction gives tiles a tight origin box but a whole-octant
@@ -91,7 +90,6 @@ def sort_rays(ray_o, ray_d):
     COARSE origin cell first and the direction next gives tiles both a
     moderate origin box AND a narrow cone, which the interval test turns
     into far fewer visited blocks."""
-    n = ray_o.shape[0]
     octant = (
         (ray_d[:, 0] < 0).astype(jnp.uint32)
         | ((ray_d[:, 1] < 0).astype(jnp.uint32) << 1)
@@ -103,6 +101,43 @@ def sort_rays(ray_o, ray_d):
     coarse = key_o >> 21                                # top 3 bits/axis
     key_d = _morton10(jnp.abs(ray_d), jnp.zeros(3), jnp.ones(3))
     key1 = (octant << 9) | coarse
+    return key1, key_d, key_o
+
+
+def sort_rays_carry(ray_o, ray_d):
+    """Sort rays, CARRYING the six components through the one lax.sort.
+
+    Returns ``(perm, ray_o_sorted, ray_d_sorted)``.  Zero gathers: the
+    components ride the key sort as extra operands, and the caller
+    restores payload order with a second carrying sort keyed on ``perm``
+    (see :func:`unsort_by`).  The former take(perm)/take(inv_perm)
+    formulation spent 123 ms/step of the envmap workload in per-component
+    permutation gathers (scripts/attribute_profile.py, 2026-08-19)."""
+    n = ray_o.shape[0]
+    key1, key_d, key_o = _ray_sort_keys(ray_o, ray_d)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    (_, _, _, perm, ox, oy, oz, dx, dy, dz) = jax.lax.sort(
+        (key1, key_d, key_o, iota,
+         ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
+         ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]),
+        num_keys=3,
+    )
+    return perm, jnp.stack([ox, oy, oz], axis=-1), \
+        jnp.stack([dx, dy, dz], axis=-1)
+
+
+def unsort_by(perm, arrays):
+    """Restore original order: one carrying sort keyed on ``perm`` (the
+    original index of each sorted element) instead of N gathers."""
+    out = jax.lax.sort((perm,) + tuple(arrays), num_keys=1)
+    return out[1:]
+
+
+def sort_rays(ray_o, ray_d):
+    """(perm, inv_perm) view of the ray ordering — kept for tests and
+    diagnostics; the entry point uses the gather-free carrying forms."""
+    n = ray_o.shape[0]
+    key1, key_d, key_o = _ray_sort_keys(ray_o, ray_d)
     iota = jnp.arange(n, dtype=jnp.int32)
     _, _, _, perm = jax.lax.sort(
         (key1, key_d, key_o, iota), num_keys=3
@@ -356,9 +391,7 @@ def ray_intersect_bvh(p0, e1, e2, ray_o, ray_d, active=None,
         ray_d = jnp.concatenate([ray_d, jnp.tile(ray_d[-1:], (pad, 1))])
 
     if sort:
-        perm, inv_perm = sort_rays(ray_o, ray_d)
-        ray_o = jnp.take(ray_o, perm, axis=0)
-        ray_d = jnp.take(ray_d, perm, axis=0)
+        perm, ray_o, ray_d = sort_rays_carry(ray_o, ray_d)
 
     # block data layout (same packing as the dense streaming path)
     packed = jnp.concatenate([p0.T, e1.T, e2.T], axis=0)        # (9, f_pad)
@@ -400,10 +433,7 @@ def ray_intersect_bvh(p0, e1, e2, ray_o, ray_d, active=None,
     u = out_u.reshape(-1)
     v = out_v.reshape(-1)
     if sort:
-        tri_id = jnp.take(tri_id, inv_perm)
-        t = jnp.take(t, inv_perm)
-        u = jnp.take(u, inv_perm)
-        v = jnp.take(v, inv_perm)
+        tri_id, t, u, v = unsort_by(perm, (tri_id, t, u, v))
     tri_id, t, u, v = tri_id[:n], t[:n], u[:n], v[:n]
     valid = tri_id >= 0
     uv = jnp.stack([u, v], axis=-1)

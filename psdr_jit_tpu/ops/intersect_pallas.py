@@ -41,10 +41,12 @@ _INF = 1e30
 LANES = 128
 MAX_KERNEL_TRIS = 1 << 20  # above this, fall back to the blocked JAX path
 # above this, the sorted-ray block-culled path (ops/bvh.py) replaces dense
-# block streaming (env-overridable for mid-size-scene A/B: the 5k-tri bunny
-# under the envmap spends ~600 ms/step in dense streaming — culling may win
-# well below the default cutoff, scripts/envmap_profile.py)
-BVH_MIN_TRIS = int(_os.environ.get("PSDR_BVH_MIN_TRIS", "16384"))
+# block streaming.  Default lowered 16384 -> 4096 after an interleaved
+# step-level A/B on the 4968-tri envmap bunny (scripts/envmap_ab.py,
+# 2026-08-19): tile culling 1272.6 vs dense 1552.8 ms/step (1.22x),
+# identical loss.  Below ~8 super-blocks the sort + (tile, block) interval
+# math has little to cull, so smaller scenes keep the dense path.
+BVH_MIN_TRIS = int(_os.environ.get("PSDR_BVH_MIN_TRIS", "4096"))
 
 # Small scenes use a scalar-triangle loop with SMEM-prefetched triangle
 # data — ~2x faster than the rotation kernel because it never pads the

@@ -698,6 +698,18 @@ class Scene(Object):
                 sec_edge_distrb = DiscreteDistribution.init(
                     norm(jax.lax.stop_gradient(sec_edge.e1))
                 )
+                # big edge sets: consume the alias-attached table cached by
+                # the last eager configure() (same policy as the envmap
+                # importance cache above: the sampling table is detached
+                # anyway, sample+pdf stay consistent so the estimator is
+                # unbiased at any staleness, and edge lengths have full
+                # support so no edge can be starved; per-lane binary search
+                # over the fresh CDF measured 188 ms/step combined with the
+                # primary-edge search on the envmap bunny workload).
+                cache = getattr(self, "_sec_edge_distrb_cache", None)
+                if (cache is not None
+                        and cache.size == sec_edge_distrb.size):
+                    sec_edge_distrb = cache
 
         # sensors
         if active_sensors is None:
@@ -709,6 +721,21 @@ class Scene(Object):
             )
             for i, s in enumerate(self.sensors)
         )
+        # big primary-edge screen tables: swap in the alias-attached FLOORED
+        # table cached by the last eager configure() (see configure()); the
+        # floor keeps every projected edge sampleable so a silhouette that
+        # flips between configure() calls is still reached (higher variance
+        # there, never bias — sample and pdf come from the same table)
+        pe_caches = getattr(self, "_pe_distrb_caches", None) or {}
+        if pe_caches:
+            sensor_datas = tuple(
+                sd.replace(edge_info=sd.edge_info.replace(
+                    distrb=pe_caches[i]))
+                if (i in pe_caches and sd.edge_info is not None
+                    and pe_caches[i].size == sd.edge_info.distrb.size)
+                else sd
+                for i, sd in enumerate(sensor_datas)
+            )
 
         return SceneData(
             tri=tri,
@@ -760,7 +787,52 @@ class Scene(Object):
                     em._cell_distrb_cache = jax.lax.stop_gradient(
                         build_envmap_distribution(em.radiance)
                     ).with_alias()
+            self._sec_edge_distrb_cache = None
+            self._pe_distrb_caches = {}
             self._data = self.configure_data(active_sensors)
+            # attach O(1)-gather alias tables to the big sampling
+            # distributions now that their masses are concrete; traced
+            # per-step rebuilds (fused training steps) consume the caches.
+            # Per-lane binary search over the fresh CDFs measured 188
+            # ms/step (PE + SE combined) on the envmap bunny workload
+            # (scripts/attribute_profile.py, 2026-08-19).
+            from ..core.math import SEARCHSORTED_DENSE_MAX
+
+            sed = self._data.sec_edge_distrb
+            if sed is not None and sed.size > SEARCHSORTED_DENSE_MAX:
+                self._sec_edge_distrb_cache = sed.with_alias()
+                self._data = self._data.replace(
+                    sec_edge_distrb=self._sec_edge_distrb_cache
+                )
+            # primary-edge screen tables: cache a FLOORED version — the
+            # silhouette classification (the support of the fresh table)
+            # moves with the geometry between configure() calls, so the
+            # cached sampler mixes in 1/16 proportional-to-raw-length mass
+            # over ALL projected edges: late-flipping silhouettes stay
+            # sampleable (no support mismatch => no bias; a non-silhouette
+            # draw contributes ~0 and costs ~6% of sppe in variance)
+            new_sensors = []
+            changed = False
+            for i, sdat in enumerate(self._data.sensors):
+                ei = sdat.edge_info
+                if ei is None or ei.distrb.size <= SEARCHSORTED_DENSE_MAX:
+                    new_sensors.append(sdat)
+                    continue
+                keep_mass = ei.edge_length
+                raw = norm(ei.p1 - ei.p0)
+                tk = jnp.sum(keep_mass)
+                tr = jnp.maximum(jnp.sum(raw), 1e-30)
+                mass = keep_mass + raw * (
+                    jnp.where(tk > 0.0, tk, tr) / tr / 16.0
+                )
+                cache = DiscreteDistribution.init(mass).with_alias()
+                self._pe_distrb_caches[i] = cache
+                new_sensors.append(
+                    sdat.replace(edge_info=ei.replace(distrb=cache))
+                )
+                changed = True
+            if changed:
+                self._data = self._data.replace(sensors=tuple(new_sensors))
             if self.opts.log_level > 0:
                 jax.block_until_ready(jax.tree_util.tree_leaves(self._data))
         return self._data
