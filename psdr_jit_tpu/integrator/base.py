@@ -234,7 +234,7 @@ def interior_lane_setup(width: int, height: int, spp: int, seed, pix_chunk):
 
 
 def interior_chunk(integrator, sd, opts, sensor_id: int, seed, spp: int,
-                   diff: bool, pix_chunk):
+                   diff: bool, pix_chunk, vjp_ok: bool = False):
     """Render one pixel chunk of the interior estimator -> (m, 3) rows.
 
     Shared by the remat render path (`_render_interior`) and the fused
@@ -247,7 +247,7 @@ def interior_chunk(integrator, sd, opts, sensor_id: int, seed, spp: int,
     )
     ray = sensor.sample_primary_ray(samples, diff=diff)
     active = jnp.ones((m * spp,), bool)
-    value = integrator.Li(sd, sampler, ray, active, diff)
+    value = integrator.Li(sd, sampler, ray, active, diff, vjp_ok=vjp_ok)
     value = scrub_nonfinite(value)
     return interior_average(value, m, spp)
 
@@ -259,7 +259,8 @@ class Integrator(Object):
         self._jit_cache = {}
 
     # -- subclass interface --------------------------------------------------
-    def Li(self, sd: SceneData, sampler: Sampler, ray: Ray, active, diff: bool):
+    def Li(self, sd: SceneData, sampler: Sampler, ray: Ray, active,
+           diff: bool, vjp_ok: bool = False):
         raise NotImplementedError
 
     def render_secondary_edges(self, sd, opts, sensor_id, seed,

@@ -27,7 +27,8 @@ class CollocatedIntegrator(Integrator):
         if self.intensity.shape[0] == 1:
             self.intensity = jnp.repeat(self.intensity, 3)
 
-    def Li(self, sd, sampler, ray, active, diff: bool):
+    def Li(self, sd, sampler, ray, active, diff: bool,
+           vjp_ok: bool = False):
         its = sd.ray_intersect(ray, active, mode="solid" if diff else "path", diff=diff)
         active = active & its.valid
         value = sd.eval_bsdf(its, its.wi, active)

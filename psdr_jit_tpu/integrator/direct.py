@@ -21,7 +21,8 @@ class Direct(SecondaryEdgeMixin, Integrator):
         self.mis = mis
         self.hide_emitters = hide_emitters
 
-    def Li(self, sd, sampler, ray, active, diff: bool):
+    def Li(self, sd, sampler, ray, active, diff: bool,
+           vjp_ok: bool = False):
         its = sd.ray_intersect(ray, active, mode="solid" if diff else "path", diff=diff)
         active = active & its.valid
 

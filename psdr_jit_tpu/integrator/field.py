@@ -24,7 +24,8 @@ class FieldExtractionIntegrator(Integrator):
         self.field = parts[0]
         self.object = parts[1] if len(parts) > 1 else ""
 
-    def Li(self, sd, sampler, ray, active, diff: bool):
+    def Li(self, sd, sampler, ray, active, diff: bool,
+           vjp_ok: bool = False):
         its = sd.ray_intersect(ray, active, mode="solid" if diff else "path", diff=diff)
         active = active & its.valid
         # skip the envmap bounding mesh (field.cpp:53-56)

@@ -86,8 +86,11 @@ def _interior_scan(integrator, sd, opts, sensor_id: int, seed, pixel_loss,
         acc, loss_acc = carry
         pix_chunk, valid = xs
         out, pull = jax.vjp(
+            # vjp_ok: this pullback is reverse-mode by construction, so the
+            # attached interior megakernel (a custom_vjp, ops/shade_mega.py)
+            # is safe to engage here — jax.jvp paths must not see it.
             lambda s: interior_chunk(integrator, s, opts, sensor_id, seed,
-                                     spp, True, pix_chunk),
+                                     spp, True, pix_chunk, vjp_ok=True),
             sd,
         )
 

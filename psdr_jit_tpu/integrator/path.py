@@ -94,8 +94,26 @@ class PathTracer(SecondaryEdgeMixin, Integrator):
         self.max_depth = max_depth
         self.hide_emitters = hide_emitters
 
-    def Li(self, sd, sampler, ray, active, diff: bool, tape=None):
+    def Li(self, sd, sampler, ray, active, diff: bool, tape=None,
+           vjp_ok: bool = False):
         from .base import REMAT_MODE
+
+        if diff and tape is None and vjp_ok:
+            # Attached interior Li through the shading megakernel pair
+            # (ops/shade_mega.py): the fused reverse-mode step sets
+            # ``vjp_ok`` because custom_vjp cannot be jvp'd — jax.jvp
+            # forward-mode grad images keep the general XLA path below.
+            from ..ops import shade_mega
+
+            use, interp = shade_mega.enabled()
+            if use and shade_mega.applicable(sd):
+                out = shade_mega.li_interior(
+                    sd, ray, active, sampler.lane, sampler.seed_value,
+                    depth=self.max_depth, cnt0=sampler.cnt,
+                    hide_emitters=self.hide_emitters, interpret=interp,
+                )
+                sampler.cnt += 2 * self.max_depth
+                return out
 
         if not diff and tape is None:
             # Detached Li (primal renderC + both boundary-term radiance

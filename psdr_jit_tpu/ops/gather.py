@@ -103,6 +103,58 @@ def _scat3(oh3, ct):
     return g3[..., :d] + g3[..., d:2 * d] + g3[..., 2 * d:]
 
 
+def _split3_rows(m):
+    """Exact 3-way bf16 split stacked along ROWS: vcat(hi, mid, lo)."""
+    hi = m.astype(jnp.bfloat16)
+    r1 = m - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=0)
+
+
+def _sel3_t(oh3t, matrix):
+    """Transposed-layout selection: (3F, N) one-hot x (F, D) table -> (D, N).
+
+    Same exact-bf16x3 trick as :func:`_sel3`, producing the rows directly in
+    column-major ``(D, N)`` layout — the layout the Pallas shading kernels
+    consume (a ``(D, n_rows, 128)`` block tiles densely, while ``(N, D)``
+    would pad D up to 128 lanes)."""
+    f, d = matrix.shape
+    t3 = _split3(matrix).reshape(f, 3, d).swapaxes(0, 1).reshape(3 * f, d)
+    return jax.lax.dot_general(
+        t3, oh3t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _scat3_t(oh3t, ct):
+    """Adjoint of :func:`_sel3_t`: d_matrix (F, D) from a (D, N) cotangent."""
+    f = oh3t.shape[0] // 3
+    d = ct.shape[0]
+    g3 = jax.lax.dot_general(
+        oh3t[:f], _split3_rows(ct), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (F, 3D): block j = one-hot @ part_j^T
+    return g3[:, :d] + g3[:, d:2 * d] + g3[:, 2 * d:]
+
+
+def gather_rows_t(matrix, idx, one_hot_max_rows: int = ONE_HOT_MAX_ROWS):
+    """``gather_rows`` in transposed ``(D, N)`` output layout.
+
+    ``matrix``: (F, D) f32 table, ``idx``: (N,) int — returns ``(D, N)``
+    with ``out[:, n] == matrix[idx[n]]`` (bitwise, exact-bf16x3 path).
+    Reverse mode scatters the (D, N) cotangent back into the table with one
+    MXU dot.  Used by the interior shading megakernel (ops/shade_mega.py)
+    whose per-hit row blocks are laid out fields-major."""
+    f, d = matrix.shape
+    idx = idx.reshape(-1)
+    if f > one_hot_max_rows or matrix.dtype != jnp.float32:
+        return gather_rows(matrix, idx, one_hot_max_rows).T
+    j = jax.lax.iota(jnp.int32, 3 * f) % f
+    oh3t = (j[:, None] == idx[None, :]).astype(jnp.bfloat16)
+    return _cd.linear_call(_sel3_t, _scat3_t, oh3t, matrix)
+
+
 def gather_rows(matrix, idx, one_hot_max_rows: int = ONE_HOT_MAX_ROWS):
     f, d = matrix.shape
     if f > one_hot_max_rows:

@@ -136,11 +136,20 @@ def _duff_frame(nx, ny, nz):
 
 
 def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
-               cnt0: int, hide_emitters: bool):
-    """Build the Li kernel body for a static scene/loop configuration."""
+               cnt0: int, hide_emitters: bool, stash: bool = False):
+    """Build the Li kernel body for a static scene/loop configuration.
+
+    ``stash=True`` (the interior-megakernel trace pass, ops/shade_mega.py):
+    additionally writes each intersection's ``(tri_id, u, v)`` payload to
+    extra out refs (camera, then per depth NEE + bounce), and rolls the
+    bounce hit point via the BILINEAR reconstruction ``p0 + e1*u + e2*v``
+    instead of ``o + t*d`` — matching the XLA path-space formulation
+    (scene.py ray_intersect mode="path") sample-for-sample, so the attached
+    shading recompute sees exactly the hit set the general path would."""
 
     def kernel(tri_ref, box_ref, attr_ref, light_ref, misc_ref, seed_ref,
-               lane, act, ox, oy, oz, dx, dy, dz, out_r, out_g, out_b):
+               lane, act, ox, oy, oz, dx, dy, dz, out_r, out_g, out_b,
+               *stash_refs):
         shape = ox[...].shape
         lane_u = lane[...]
         seed_b = jnp.full(shape, seed_ref[0], jnp.uint32)
@@ -167,14 +176,17 @@ def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
             )
             return bt, jnp.where(bt < _INF, bi, -1), bu, bv
 
-        def resolve(bi, bu, bv):
+        def resolve(bi, bu, bv, want_p: bool = False):
             """Masked-select attribute fetch for hit ids (no gathers).
 
-            Returns (ns(3), alb(3), emit(3), is_em) of the hit triangle;
-            zeros for misses (bi < 0).
+            Returns (ns(3), fn(3), alb(3), is_em) of the hit triangle
+            (plus the bilinear hit point when ``want_p``); zeros for misses
+            (bi < 0).
             """
             zero = jnp.zeros(shape, jnp.float32)
             init = (zero,) * 9 + (zero,)
+            if want_p:
+                init = init + (zero, zero, zero)
 
             def tri_body(j, carry):
                 m = bi == j
@@ -212,7 +224,8 @@ def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
                     if_smooth,
                     n0z + (attr_ref[5, j] - n0z) * bu
                     + (attr_ref[8, j] - n0z) * bv, fz)
-                (cnx, cny, cnz, cfx, cfy, cfz, car, cag, cab, cem) = carry
+                (cnx, cny, cnz, cfx, cfy, cfz, car, cag, cab, cem
+                 ) = carry[:10]
                 cnx = jnp.where(m, nx, cnx)
                 cny = jnp.where(m, ny, cny)
                 cnz = jnp.where(m, nz, cnz)
@@ -223,7 +236,18 @@ def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
                 cag = jnp.where(m, attr_ref[11, j], cag)
                 cab = jnp.where(m, attr_ref[12, j], cab)
                 cem = jnp.where(m, attr_ref[16, j], cem)
-                return (cnx, cny, cnz, cfx, cfy, cfz, car, cag, cab, cem)
+                out = (cnx, cny, cnz, cfx, cfy, cfz, car, cag, cab, cem)
+                if want_p:
+                    # bilinear hit point p0 + e1*u + e2*v (math.py:78-80)
+                    cpx, cpy, cpz = carry[10:]
+                    p0x = tri_ref[0, j]
+                    p0y = tri_ref[1, j]
+                    p0z = tri_ref[2, j]
+                    cpx = jnp.where(m, p0x + e1x * bu + e2x * bv, cpx)
+                    cpy = jnp.where(m, p0y + e1y * bu + e2y * bv, cpy)
+                    cpz = jnp.where(m, p0z + e1z * bu + e2z * bv, cpz)
+                    out = out + (cpx, cpy, cpz)
+                return out
 
             def cluster_body(c, carry):
                 lo = c * CLUSTER_SMALL
@@ -235,13 +259,15 @@ def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
                     lambda cr: cr, carry,
                 )
 
-            (nx, ny, nz, fx, fy, fz, ar, ag, ab, em) = jax.lax.fori_loop(
-                0, n_clusters, cluster_body, init
-            )
+            res = jax.lax.fori_loop(0, n_clusters, cluster_body, init)
+            (nx, ny, nz, fx, fy, fz, ar, ag, ab, em) = res[:10]
             nx, ny, nz = _normalize3(nx, ny, nz)
             # emit radiance rides in rows 13-15 only for emissive tris;
             # resolve it from the same sweep carries (is_em scales it)
-            return (nx, ny, nz), (fx, fy, fz), (ar, ag, ab), em > 0.5
+            base = ((nx, ny, nz), (fx, fy, fz), (ar, ag, ab), em > 0.5)
+            if want_p:
+                return base + (res[10:],)
+            return base
 
         def resolve_emit(bi):
             """Emitted radiance scalars of the hit triangle (rows 13-15)."""
@@ -307,7 +333,14 @@ def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
         o = (ox[...], oy[...], oz[...])
         d = (dx[...], dy[...], dz[...])
 
+        def put_stash(k, hid, hu, hv):
+            stash_refs[3 * k][...] = hid
+            stash_refs[3 * k + 1][...] = hu
+            stash_refs[3 * k + 2][...] = hv
+
         t, bi, bu, bv = closest_hit(o, d)
+        if stash:
+            put_stash(0, bi, bu, bv)
         valid = bi >= 0
         active = active & valid
         ns, fn, alb, is_em = resolve(bi, bu, bv)
@@ -330,8 +363,10 @@ def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
         thr_b = jnp.ones(shape, jnp.float32)
 
         cnt = cnt0
+        # camera hit point o + t*d (solid formulation); bounce hits roll
+        # either o + t*d (mega Li) or the bilinear point (stash mode)
+        p = tuple(o[k] + d[k] * t for k in range(3))
         for _depth in range(depth):
-            p = tuple(o[k] + d[k] * t for k in range(3))
             wiz_cam = -_dot3(ns, d)  # cos_i at this hit (local wi.z)
 
             # ---- NEE (path.cpp:47-83) --------------------------------
@@ -348,6 +383,8 @@ def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
             inv_dist = _safe_div(1.0, dist)
             wod = tuple(wod[k] * inv_dist for k in range(3))
             t1, bi1, bu1, bv1 = closest_hit(p, wod)
+            if stash:
+                put_stash(1 + 2 * _depth, bi1, bu1, bv1)
             ns1, fn1, _alb1, is_em1 = resolve(bi1, bu1, bv1)
             hit_light = (
                 active_direct & (bi1 >= 0)
@@ -386,9 +423,15 @@ def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
             )
             bs_valid = active & (wiz_cam > 0.0)
             t2, bi2, bu2, bv2 = closest_hit(p, wo)
+            if stash:
+                put_stash(2 + 2 * _depth, bi2, bu2, bv2)
             valid2 = bi2 >= 0
             active = bs_valid & valid2
-            ns2, fn2, alb2, is_em2 = resolve(bi2, bu2, bv2)
+            if stash:
+                ns2, fn2, alb2, is_em2, p2_bl = resolve(
+                    bi2, bu2, bv2, want_p=True)
+            else:
+                ns2, fn2, alb2, is_em2 = resolve(bi2, bu2, bv2)
             cos_val2 = -_dot3(fn2, wo)
             g2 = _safe_div(jnp.abs(cos_val2), jnp.maximum(t2 * t2, _TINY))
             g2 = jnp.where(valid2, g2, 1.0)
@@ -411,10 +454,15 @@ def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
             res_g = res_g + thr_g * eg2 * lscale
             res_b = res_b + thr_b * eb2 * lscale
 
-            # roll state for the next bounce
-            o = p
+            # roll state for the next bounce.  p + wo*t2 is the exact
+            # expression tree the pre-refactor `o + d*t` built (o=p, d=wo,
+            # t=t2) — bitwise identical; stash mode rolls the bilinear
+            # point to match the XLA path-space reconstruction instead.
+            if stash:
+                p = p2_bl
+            else:
+                p = tuple(p[k] + wo[k] * t2 for k in range(3))
             d = wo
-            t, bi, bu, bv = t2, bi2, bu2, bv2
             ns, fn, alb, is_em = ns2, fn2, alb2, is_em2
 
         out_r[...] = res_r
@@ -514,19 +562,9 @@ def build_tables(sd):
     return tri_tab, box_tab, attr, light, misc
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("depth", "cnt0", "hide_emitters", "interpret"),
-)
-def li_mega(tri_tab, box_tab, attr, light, misc, ray_o, ray_d, active, lane,
-            seed, depth: int, cnt0: int, hide_emitters: bool = False,
-            interpret: bool = False):
-    """Detached PathTracer Li for (N, 3) rays — one Pallas launch.
-
-    ``lane``/``seed``/``cnt0`` replicate the XLA path's Sampler schedule
-    (one pcg4d draw per NEE + one per bounce, starting at ``cnt0``).
-    Returns ``(N, 3)`` radiance; inactive lanes are 0.
-    """
+def _li_mega_impl(tri_tab, box_tab, attr, light, misc, ray_o, ray_d, active,
+                  lane, seed, depth: int, cnt0: int, hide_emitters: bool,
+                  interpret: bool, stash: bool):
     n = ray_o.shape[0]
     f_pad = tri_tab.shape[1]
     n_clusters = f_pad // CLUSTER_SMALL
@@ -551,17 +589,69 @@ def li_mega(tri_tab, box_tab, attr, light, misc, ray_o, ray_d, active, lane,
     ray_spec = pl.BlockSpec(
         (R_ROWS_MEGA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
     )
+    n_hits = (1 + 2 * depth) if stash else 0
+    out_shape = [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 3
+    for _ in range(n_hits):
+        out_shape += [
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=grid,
         in_specs=[ray_spec] * 8,
-        out_specs=[ray_spec] * 3,
+        out_specs=[ray_spec] * len(out_shape),
     )
     out = pl.pallas_call(
-        _mk_kernel(f_pad, n_clusters, n_light, depth, cnt0, hide_emitters),
+        _mk_kernel(f_pad, n_clusters, n_light, depth, cnt0, hide_emitters,
+                   stash=stash),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 3,
+        out_shape=out_shape,
         interpret=interpret,
     )(tri_tab, box_tab, attr, light, misc,
       jnp.asarray(seed, jnp.uint32).reshape(1), *comps)
-    return jnp.stack([c.reshape(-1)[:n] for c in out], axis=-1)
+    li = jnp.stack([c.reshape(-1)[:n] for c in out[:3]], axis=-1)
+    if not stash:
+        return li
+    hits = tuple(
+        tuple(c.reshape(-1)[:n] for c in out[3 + 3 * k: 6 + 3 * k])
+        for k in range(n_hits)
+    )
+    return li, hits
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "cnt0", "hide_emitters", "interpret"),
+)
+def li_mega(tri_tab, box_tab, attr, light, misc, ray_o, ray_d, active, lane,
+            seed, depth: int, cnt0: int, hide_emitters: bool = False,
+            interpret: bool = False):
+    """Detached PathTracer Li for (N, 3) rays — one Pallas launch.
+
+    ``lane``/``seed``/``cnt0`` replicate the XLA path's Sampler schedule
+    (one pcg4d draw per NEE + one per bounce, starting at ``cnt0``).
+    Returns ``(N, 3)`` radiance; inactive lanes are 0.
+    """
+    return _li_mega_impl(tri_tab, box_tab, attr, light, misc, ray_o, ray_d,
+                         active, lane, seed, depth, cnt0, hide_emitters,
+                         interpret, stash=False)
+
+
+def li_mega_stash(tri_tab, box_tab, attr, light, misc, ray_o, ray_d, active,
+                  lane, seed, depth: int, cnt0: int,
+                  hide_emitters: bool = False, interpret: bool = False):
+    """Detached Li + the per-intersection hit payloads, one Pallas launch.
+
+    Returns ``(li (N, 3), hits)`` where ``hits`` is a tuple of
+    ``(tri_id (N,) int32, u (N,), v (N,))`` for the camera hit followed by
+    each depth's NEE shadow hit and BSDF bounce hit (1 + 2*depth entries).
+    Secondary origins use the bilinear reconstruction, matching the XLA
+    path-space hit chain (scene.py ray_intersect mode="path") so the
+    attached shading recompute (ops/shade_mega.py) replays exactly this
+    path.  Callers jit; draws replicate the Sampler schedule like li_mega.
+    """
+    return _li_mega_impl(tri_tab, box_tab, attr, light, misc, ray_o, ray_d,
+                         active, lane, seed, depth, cnt0, hide_emitters,
+                         interpret, stash=True)
