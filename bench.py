@@ -9,19 +9,40 @@ block + light radiance) with ALL three estimators (interior + primary-edge
 Headline value: the fused production step (``Integrator.loss_and_grad``,
 integrator/fused.py) — one forward + one adjoint with zero recompute, the
 cost structure of the reference's Dr.Jit tape backward (README.md:102-104).
-Carried alongside for cross-round comparability:
+
+OUTPUT CONTRACT (the driver captures the tail of stdout and parses the last
+JSON line): the headline JSON line is printed IMMEDIATELY after the cbox
+fused measurement — before any optional section compiles — so a slow or
+failing later section can never erase the round's number (round 3 lost its
+number exactly that way: five serialized multi-minute cold compiles, JSON
+only at the very end, driver timeout => rc=124/parsed:null).  Each optional
+section then re-prints the FULL accumulated JSON (a strict superset), so
+the last parseable line is always the most complete.  Optional sections:
   * ``interior_only_mrays`` — fused step, interior estimator only,
   * ``jaxgrad_full_mrays`` — ``jax.grad`` of the ``renderD`` L2 loss
-    (remat/path-replay reverse path; the round-1 measurement style).
+    (remat/path-replay reverse path; the round-1 measurement style),
+  * ``envmap128_guided_*`` — BASELINE config #3 (Microfacet bunny + envmap),
+  * ``large_scene_*`` — 100k-triangle gallery renderC through the BVH path.
+A wall-clock budget (PSDR_BENCH_BUDGET_S, default 1500 s from process
+start) skips remaining sections and sets ``"truncated": true``.
+
+Before any timing, a numerical parity gate runs ON THE REAL BACKEND: a 64²
+renderC and a micro fused step with the Pallas megakernels on vs. off must
+agree.  All 197 CI tests run the kernels through the CPU interpreter; this
+gate is the only place Mosaic lowering is checked against the general XLA
+path, mirroring the reference's backend smoke test
+(/root/reference/src/jit_optix_test.cpp:59-462).  On divergence the bench
+prints a JSON line recording the failure and exits 1 — it never times
+wrong numbers.
 
 Ray accounting per pixel:
   interior:   spp   * (1 + 2*depth)          camera + depth*(shadow+bounce)
   primary:    sppe  * 2 * (1 + 2*depth)      two detached Li per edge lane
   secondary:  sppse * 3                      visibility + opposite + camera
 
-Prints ONE JSON line.  ``vs_baseline`` is vs. the speed-of-light estimate
-for this chip (fraction of roofline): the reference publishes no numbers
-(BASELINE.md), so the roofline is the only defensible denominator.
+``vs_baseline`` is vs. the speed-of-light estimate for this chip (fraction
+of roofline): the reference publishes no numbers (BASELINE.md), so the
+roofline is the only defensible denominator.
 """
 
 import json
@@ -41,12 +62,22 @@ import jax.numpy as jnp
 import psdr_jit_tpu as psdr
 from scenes import make_cbox
 
-WIDTH = HEIGHT = 512
-SPP = 32
-SPPE = 32
-SPPSE = 32
-DEPTH = 3
-N_ITER = 3  # per timed block; 3 blocks, min-of-blocks reported
+# PSDR_BENCH_SMOKE=1 shrinks every workload so the full control flow
+# (parity gate, incremental JSON emission, budget truncation) can be
+# exercised on CPU in minutes; real numbers always come from the defaults.
+_SMOKE = os.environ.get("PSDR_BENCH_SMOKE") == "1"
+WIDTH = HEIGHT = 64 if _SMOKE else 512
+SPP = SPPE = SPPSE = 4 if _SMOKE else 32
+DEPTH = 2 if _SMOKE else 3
+N_ITER = 1 if _SMOKE else 3  # per timed block; 3 blocks, min-of-blocks
+N_WARMUP = 1 if _SMOKE else 3
+
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("PSDR_BENCH_BUDGET_S", "1500"))
+
+
+def _left():
+    return BUDGET_S - (time.perf_counter() - T_START)
 
 
 def _force(tree):
@@ -76,7 +107,7 @@ def _time_fn(fn, args_for):
     # THREE warmup calls: the first timed block after a compile runs
     # ~50-100 ms/step slower than steady state (measured 717 -> 606 ms
     # across blocks, scripts/ab_interleave.py) — warm past that.
-    for i in range(3):
+    for i in range(N_WARMUP):
         _force(fn(*args_for(i)))
     # min over blocks rejects one-off machine-state excursions (the same
     # binary scatters over a ~60-90 ms band between runs; CLAUDE.md)
@@ -84,9 +115,68 @@ def _time_fn(fn, args_for):
     for blk in range(3):
         t0 = time.perf_counter()
         for i in range(N_ITER):
-            _force(fn(*args_for(blk * N_ITER + i + 3)))
+            _force(fn(*args_for(blk * N_ITER + i + N_WARMUP)))
         best = min(best, (time.perf_counter() - t0) / N_ITER)
     return best
+
+
+def _parity_gate():
+    """Megakernel-vs-XLA numerical agreement ON THE REAL BACKEND.
+
+    64² renderC (detached-Li megakernel vs. general path) and one micro
+    fused step (attached interior megakernel vs. general path).  Cheap:
+    programs this size compile in seconds even through the compile helper.
+    Skipped off-TPU (CI covers the interpreter path).  Returns a dict of
+    relative errors; raises AssertionError on divergence.
+    """
+    import numpy as np
+    from psdr_jit_tpu.ops import megakernel, shade_mega
+
+    sc = make_cbox(width=64, height=64, spp=4, sppe=4, sppse=4)
+    sc.configure()
+    integ = psdr.PathTracer(max_depth=2)
+    mesh, em = sc.meshes[-1], sc.emitters[0]
+    bv, br = mesh.vertex_positions_raw, em.radiance
+    target = jnp.zeros((64 * 64, 3), jnp.float32)
+
+    def apply(p):
+        dv, dr = p
+        mesh.vertex_positions_raw = bv + dv
+        em.radiance = br + dr
+
+    def step(p, s, tgt):
+        def ploss(rows, pix):
+            return jnp.sum(jnp.square(rows - tgt[pix]), axis=-1)
+        return integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
+
+    p0 = (jnp.zeros_like(bv), jnp.zeros_like(br))
+    res = {}
+    imgs, steps = {}, {}
+    for mode in ("off", "auto"):
+        megakernel.MEGA_MODE = mode
+        shade_mega.INTERIOR_MODE = mode
+        imgs[mode] = np.asarray(
+            jax.jit(lambda s: integ.renderC(sc, 0, seed=s))(jnp.uint32(7)))
+        out = jax.jit(step)(p0, jnp.uint32(3), target)
+        steps[mode] = (float(out[0]),
+                       [np.asarray(g) for g in jax.tree_util.tree_leaves(out[1])])
+    megakernel.MEGA_MODE = "auto"
+    shade_mega.INTERIOR_MODE = "auto"
+    mesh.vertex_positions_raw = bv
+    em.radiance = br
+
+    rel_img = float(np.abs(imgs["auto"] - imgs["off"]).sum()
+                    / (np.abs(imgs["off"]).sum() + 1e-12))
+    la, ga = steps["off"]
+    lb, gb = steps["auto"]
+    rel_loss = abs(la - lb) / (abs(la) + 1e-12)
+    rel_grad = max(
+        float(np.abs(a - b).sum() / (np.abs(a).sum() + 1e-12))
+        for a, b in zip(ga, gb))
+    res = {"img": rel_img, "loss": rel_loss, "grad": rel_grad}
+    # same sampler schedule bit-for-bit => only float-assoc noise expected
+    assert rel_img < 1e-4 and rel_loss < 1e-4 and rel_grad < 2e-3, res
+    return res
 
 
 def _time_fused(sc, integ, mesh, em):
@@ -147,7 +237,7 @@ def _time_envmap():
     unavailable."""
     from scenes import make_bunny_envmap
 
-    res = 128
+    res = 64 if _SMOKE else 128
     try:
         sc = make_bunny_envmap(width=res, height=res, spp=SPP, sppe=SPPE,
                                sppse=SPPSE)
@@ -155,7 +245,8 @@ def _time_envmap():
         return None
     sc.configure()
     integ = psdr.PathTracer(max_depth=1)
-    integ.preprocess_secondary_edges(sc, 0, [2000, 5, 5, 32], 1)
+    grid = [200, 3, 3, 8] if _SMOKE else [2000, 5, 5, 32]
+    integ.preprocess_secondary_edges(sc, 0, grid, 1)
     mesh = sc.meshes[0]
     em = sc.emitter_env
     bv, br = mesh.vertex_positions_raw, em.radiance
@@ -190,8 +281,10 @@ def _time_large():
     raw intersection (scripts/bvh_perf.py).  Forward-only metric."""
     from scenes import make_gallery
 
-    res, spp, depth = 256, 4, 2
-    sc = make_gallery(width=res, height=res, spp=spp)
+    res, spp, depth = (64, 1, 1) if _SMOKE else (256, 4, 2)
+    sc = make_gallery(width=res, height=res, spp=spp,
+                      n_spheres=4 if _SMOKE else 80,
+                      subdiv=2 if _SMOKE else 3)
     sc.configure()
     integ = psdr.PathTracer(max_depth=depth)
     sd = jax.lax.stop_gradient(sc.data)
@@ -206,12 +299,12 @@ def _time_large():
     return 1e3 * dt, rays / dt / 1e6, n_tris
 
 
-def main():
+def _headline(out):
+    """Measure the headline workload and fill ``out`` in place."""
     n_pix = WIDTH * HEIGHT
-    rays_interior = n_pix * SPP * (1 + 2 * DEPTH)
-    rays_primary = n_pix * SPPE * 2 * (1 + 2 * DEPTH)
-    rays_secondary = n_pix * SPPSE * 3
-    rays_full = rays_interior + rays_primary + rays_secondary
+    rays_full = n_pix * (SPP * (1 + 2 * DEPTH)
+                         + SPPE * 2 * (1 + 2 * DEPTH)
+                         + SPPSE * 3)
 
     # Speed-of-light estimate: intersection is the dominant unavoidable cost.
     # The cluster-brute kernel does ~F_pad triangle tests per ray at ~48
@@ -223,58 +316,108 @@ def main():
     # unavoidable shading/AD math, so vs_baseline deliberately understates
     # how close the step is to its true floor (see docs/PERFORMANCE.md).
     # (BASELINE.json "published" is empty — no reference numbers exist.)
-    sc, integ, mesh, em = _setup(spp=SPP)
-    f_pad = 16 * -(-sum(m.num_faces for m in sc.meshes) // 16)
-    vpu_flops = 4.0e12
-    sol_mrays = vpu_flops / (f_pad * 48.0) / 1e6
-
-    # fused step, interior only
-    dt_int = _time_fused(sc, integ, mesh, em)
-    mrays_int = rays_interior / dt_int / 1e6
-
-    # fused step, full-term README workload (headline)
     sc_f, integ_f, mesh_f, em_f = _setup(spp=SPP, sppe=SPPE, sppse=SPPSE)
+    f_pad = 16 * -(-sum(m.num_faces for m in sc_f.meshes) // 16)
+    sol_mrays = 4.0e12 / (f_pad * 48.0) / 1e6
+
     dt_full = _time_fused(sc_f, integ_f, mesh_f, em_f)
     mrays_full = rays_full / dt_full / 1e6
+    out["metric"] = ("SMOKE_cbox64" if _SMOKE else
+                     "cbox512_spp32_sppe32_sppse32_depth3_fwdbwd")
+    out["value"] = round(mrays_full, 3)
+    out["unit"] = "Mrays/s"
+    out["vs_baseline"] = round(mrays_full / sol_mrays, 4)
+    out["_sol_mrays"] = sol_mrays
+    out["_rays_full"] = rays_full
+    out["_scene"] = (sc_f, integ_f, mesh_f, em_f)
 
-    # jax.grad bridge (round-1 measurement style), full terms
-    dt_jg = _time_jaxgrad(sc_f, psdr.PathTracer(max_depth=DEPTH),
-                          mesh_f, em_f)
-    mrays_jg = rays_full / dt_jg / 1e6
 
-    # envmap/Microfacet workload (BASELINE config #3; second metric)
+def _emit(out):
+    clean = {k: v for k, v in out.items() if not k.startswith("_")}
+    print(json.dumps(clean), flush=True)
+
+
+def _sec_interior(out):
+    n_pix = WIDTH * HEIGHT
+    rays_interior = n_pix * SPP * (1 + 2 * DEPTH)
+    sc, integ, mesh, em = _setup(spp=SPP)
+    dt = _time_fused(sc, integ, mesh, em)
+    out["interior_only_mrays"] = round(rays_interior / dt / 1e6, 3)
+    out["interior_vs_baseline"] = round(
+        rays_interior / dt / 1e6 / out["_sol_mrays"], 4)
+
+
+def _sec_jaxgrad(out):
+    sc_f, _, mesh_f, em_f = out["_scene"]
+    dt = _time_jaxgrad(sc_f, psdr.PathTracer(max_depth=DEPTH), mesh_f, em_f)
+    out["jaxgrad_full_mrays"] = round(out["_rays_full"] / dt / 1e6, 3)
+
+
+def _sec_envmap(out):
     env = _time_envmap()
-
-    out = {
-        "metric": "cbox512_spp32_sppe32_sppse32_depth3_fwdbwd",
-        "value": round(mrays_full, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays_full / sol_mrays, 4),
-        "interior_only_mrays": round(mrays_int, 3),
-        "interior_vs_baseline": round(mrays_int / sol_mrays, 4),
-        "jaxgrad_full_mrays": round(mrays_jg, 3),
-    }
     if env is not None:
         out["envmap128_guided_ms_step"] = round(env[0], 1)
         out["envmap128_guided_mrays"] = round(env[1], 3)
 
-    # 100k-triangle gallery renderC (BVH path, end-to-end)
+
+def _sec_large(out):
     big = _time_large()
     out["large_scene_tris"] = big[2]
     out["large_scene_ms_frame"] = round(big[0], 1)
     out["large_scene_mrays"] = round(big[1], 3)
-    print(json.dumps(out))
 
 
-if __name__ == "__main__":
+def main():
+    out = {}
+
+    # ---- numerical parity gate (TPU only; CI covers the interpreter) ----
+    if jax.default_backend() == "tpu":
+        try:
+            rel = _parity_gate()
+            out["parity"] = "ok"
+            sys.stderr.write(f"parity gate ok: {rel}\n")
+        except AssertionError as e:
+            out["parity"] = f"FAILED: {e}"
+            out["metric"] = "cbox512_spp32_sppe32_sppse32_depth3_fwdbwd"
+            out["value"] = 0.0
+            out["unit"] = "Mrays/s"
+            _emit(out)
+            sys.exit(1)
+
+    # ---- headline: measured and PRINTED before anything else compiles ----
     # The remote TPU runtime occasionally drops into FAILED_PRECONDITION
     # after heavy kernel churn; a fresh attempt after a pause recovers it.
     for attempt in range(3):
         try:
-            main()
+            _headline(out)
             break
         except Exception as e:  # noqa: BLE001
             if attempt == 2:
                 raise
-            sys.stderr.write(f"bench attempt {attempt} failed: {e}\n")
+            sys.stderr.write(f"headline attempt {attempt} failed: {e}\n")
             time.sleep(20)
+    _emit(out)
+
+    # ---- optional sections: each re-prints a superset JSON line -------
+    # (a failure or budget exhaustion can no longer erase the headline)
+    for name, fn, min_s in (
+        ("interior", _sec_interior, 120),
+        ("jaxgrad", _sec_jaxgrad, 120),
+        ("envmap", _sec_envmap, 240),
+        ("large", _sec_large, 180),
+    ):
+        if _left() < min_s:
+            out["truncated"] = True
+            sys.stderr.write(f"budget exhausted before section {name}\n")
+            _emit(out)
+            break
+        try:
+            fn(out)
+        except Exception as e:  # noqa: BLE001
+            out.setdefault("errors", []).append(f"{name}: {e}")
+            sys.stderr.write(f"section {name} failed: {e}\n")
+        _emit(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -146,7 +146,7 @@ def optix_jit_test():
     return True
 
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Object",

@@ -148,7 +148,10 @@ def gather_rows_t(matrix, idx, one_hot_max_rows: int = ONE_HOT_MAX_ROWS):
     whose per-hit row blocks are laid out fields-major."""
     f, d = matrix.shape
     idx = idx.reshape(-1)
-    if f > one_hot_max_rows or matrix.dtype != jnp.float32:
+    if (f > one_hot_max_rows or matrix.dtype != jnp.float32
+            or _gather_mode() == "highest"):
+        # PSDR_GATHER=highest debug fallback applies here too, so the
+        # numerical-isolation escape hatch covers the megakernel gathers
         return gather_rows(matrix, idx, one_hot_max_rows).T
     j = jax.lax.iota(jnp.int32, 3 * f) % f
     oh3t = (j[:, None] == idx[None, :]).astype(jnp.bfloat16)

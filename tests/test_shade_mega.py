@@ -72,7 +72,7 @@ def test_applicable():
     assert not shade_mega.applicable(jax.lax.stop_gradient(sc2.data))
 
 
-@pytest.mark.parametrize("depth", [0, 1, 2])
+@pytest.mark.parametrize("depth", [0, 1, 2, 3])
 def test_fused_grad_matches_xla(depth):
     """Interior-only fused loss+grad: megakernel pair == XLA chain for
     vertex-translation, albedo and emitter-radiance gradients."""
@@ -105,6 +105,21 @@ def test_fused_grad_with_edge_terms():
         a, b = g_ref[k], g_mk[k]
         rel = np.abs(a - b).sum() / (np.abs(a).sum() + 1e-12)
         assert rel < 5e-3, (k, rel)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="needs real Mosaic lowering (CI forces CPU); "
+                           "bench.py's parity gate covers this on hardware")
+def test_tpu_mosaic_compiles_depth3():
+    """Compile (non-interpret) the shade kernel pair fwd+bwd at the shipped
+    depth-3 config so Mosaic lowering regressions (e.g. the u32->f32 cast
+    trap, CLAUDE.md) surface in a test run on hardware rather than at
+    benchmark time."""
+    sc, integ, p0, apply_params, pixel_loss = _fused_setup(3, width=16,
+                                                           spp=2)
+    l_mk, g_mk, _ = _run(sc, integ, p0, apply_params, pixel_loss, "auto")
+    assert np.isfinite(l_mk)
+    assert all(np.isfinite(g).all() for g in jax.tree_util.tree_leaves(g_mk))
 
 
 def test_jvp_path_unaffected():
