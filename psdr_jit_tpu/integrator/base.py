@@ -269,6 +269,17 @@ class Integrator(Object):
         """Return the derivative-only (n_pix, 3) boundary image, or None."""
         return None
 
+    def Li_pair(self, sd, sampler, ray_n, ray_p, active):
+        """Detached ``Li(ray_n) - Li(ray_p)`` for the primary-edge pass
+        (reference integrator.cpp:185-186: delta_L computed inside ONE
+        fused drjit kernel).  Default: two sequential Li calls, matching
+        the reference's sampler consumption order; integrators with a
+        fused pair kernel override (PathTracer -> ops.megakernel
+        li_mega_pair)."""
+        li_n = self.Li(sd, sampler, ray_n, active, diff=False)
+        li_p = self.Li(sd, sampler, ray_p, active, diff=False)
+        return li_n - li_p
+
     # -- public API (psdr.cpp:420-421) ----------------------------------------
     @staticmethod
     def _norm_args(scene, seed, pix_id, batch_pix):
@@ -474,18 +485,20 @@ class Integrator(Object):
                 )
                 li2 = self.Li(sd_det, s2, ray2,
                               jnp.concatenate([valid, valid]), diff=False)
-                li_n, li_p = li2[:n], li2[n:]
+                delta = li2[:n] - li2[n:]
             else:
                 # sequential draws, matching the reference's Li(ray_n) then
-                # Li(ray_p) sampler consumption (integrator.cpp:185-186)
-                li_n = self.Li(sd_det, sampler, es.ray_n, valid, diff=False)
-                li_p = self.Li(sd_det, sampler, es.ray_p, valid, diff=False)
+                # Li(ray_p) sampler consumption (integrator.cpp:185-186);
+                # PathTracer fuses both evaluations into one Pallas launch
+                # when the detached megakernel applies (Li_pair)
+                delta = self.Li_pair(sd_det, sampler, es.ray_n, es.ray_p,
+                                     valid)
             # The boundary gradient needs delta_l's VALUE only: save it
             # (12 B/lane) so the remat backward never re-runs the two full
             # detached Li evaluations (2*(1+2*depth) rays/lane).
             from jax.ad_checkpoint import checkpoint_name
             delta_l = checkpoint_name(
-                jax.lax.stop_gradient(li_n - li_p), "psdr_saved"
+                jax.lax.stop_gradient(delta), "psdr_saved"
             )
             value = es.x_dot_n[..., None] * safe_div(
                 delta_l, es.pdf[..., None]

@@ -139,6 +139,37 @@ class PathTracer(SecondaryEdgeMixin, Integrator):
                 sampler.cnt += 2 * self.max_depth
                 return out.reshape(active.shape + (3,))
 
+        return self._li_xla(sd, sampler, ray, active, diff, tape)
+
+    def Li_pair(self, sd, sampler, ray_n, ray_p, active):
+        """Primary-edge radiance difference: ONE paired megakernel launch
+        (ops.megakernel.li_mega_pair) when the detached megakernel applies,
+        halving the PE pass's launch count vs two sequential Li calls
+        (mirrors integrator.cpp:185-186's single fused delta_L kernel)."""
+        from ..ops import megakernel as mega
+
+        use, interp = mega.enabled()
+        if use and mega.applicable(sd):
+            sd_det = jax.lax.stop_gradient(sd)
+            tables = mega.build_tables(sd_det)
+            sg = jax.lax.stop_gradient
+            out = mega.li_mega_pair(
+                *tables,
+                sg(ray_n.o).reshape(-1, 3), sg(ray_n.d).reshape(-1, 3),
+                sg(ray_p.o).reshape(-1, 3), sg(ray_p.d).reshape(-1, 3),
+                active.reshape(-1), sampler.lane.reshape(-1),
+                sampler.seed_value,
+                depth=self.max_depth, cnt0=sampler.cnt,
+                hide_emitters=self.hide_emitters, interpret=interp,
+            )
+            # two Li's worth of draws, in lockstep with the XLA path
+            sampler.cnt += 4 * self.max_depth
+            return out.reshape(active.shape + (3,))
+        return super().Li_pair(sd, sampler, ray_n, ray_p, active)
+
+    def _li_xla(self, sd, sampler, ray, active, diff, tape):
+        from .base import REMAT_MODE
+
         its = sd.ray_intersect(ray, active, mode="solid" if diff else "path",
                                diff=diff, tape=tape)
         active = active & its.valid

@@ -136,7 +136,8 @@ def _duff_frame(nx, ny, nz):
 
 
 def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
-               cnt0: int, hide_emitters: bool, stash: bool = False):
+               cnt0: int, hide_emitters: bool, stash: bool = False,
+               pair: bool = False):
     """Build the Li kernel body for a static scene/loop configuration.
 
     ``stash=True`` (the interior-megakernel trace pass, ops/shade_mega.py):
@@ -145,11 +146,24 @@ def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
     bounce hit point via the BILINEAR reconstruction ``p0 + e1*u + e2*v``
     instead of ``o + t*d`` — matching the XLA path-space formulation
     (scene.py ray_intersect mode="path") sample-for-sample, so the attached
-    shading recompute sees exactly the hit set the general path would."""
+    shading recompute sees exactly the hit set the general path would.
+
+    ``pair=True`` (the primary-edge pass, integrator/base.py): the kernel
+    takes TWO rays per lane (ray_n then ray_p, the two sides of a screen
+    edge) and writes ``Li(ray_n) - Li(ray_p)`` — the radiance difference of
+    reference integrator.cpp:185-186 — in ONE launch.  ray_n consumes draw
+    counters ``cnt0 .. cnt0+2*depth-1`` and ray_p the next ``2*depth``,
+    exactly the two sequential Li calls' sampler schedule, so the delta is
+    sample-for-sample the subtraction of two single-ray launches."""
 
     def kernel(tri_ref, box_ref, attr_ref, light_ref, misc_ref, seed_ref,
-               lane, act, ox, oy, oz, dx, dy, dz, out_r, out_g, out_b,
-               *stash_refs):
+               lane, act, *ray_refs_and_outs):
+        n_ray_comps = 12 if pair else 6
+        ray_comp_refs = ray_refs_and_outs[:n_ray_comps]
+        out_r, out_g, out_b = ray_refs_and_outs[
+            n_ray_comps:n_ray_comps + 3]
+        stash_refs = ray_refs_and_outs[n_ray_comps + 3:]
+        ox, oy, oz, dx, dy, dz = ray_comp_refs[:6]
         shape = ox[...].shape
         lane_u = lane[...]
         seed_b = jnp.full(shape, seed_ref[0], jnp.uint32)
@@ -328,146 +342,158 @@ def _mk_kernel(f_pad: int, n_clusters: int, n_light: int, depth: int,
             pl_ = tuple(p0[k] + e1[k] * b0 + e2[k] * b1 for k in range(3))
             return pl_, tuple(fn)
 
-        # ---- Li --------------------------------------------------------
-        active = act[...] > 0
-        o = (ox[...], oy[...], oz[...])
-        d = (dx[...], dy[...], dz[...])
-
         def put_stash(k, hid, hu, hv):
             stash_refs[3 * k][...] = hid
             stash_refs[3 * k + 1][...] = hu
             stash_refs[3 * k + 2][...] = hv
 
-        t, bi, bu, bv = closest_hit(o, d)
-        if stash:
-            put_stash(0, bi, bu, bv)
-        valid = bi >= 0
-        active = active & valid
-        ns, fn, alb, is_em = resolve(bi, bu, bv)
-
-        res_r = jnp.zeros(shape, jnp.float32)
-        res_g = jnp.zeros(shape, jnp.float32)
-        res_b = jnp.zeros(shape, jnp.float32)
-        if not hide_emitters:
-            # Le at the camera hit: one-sided constant radiance
-            # (area.cpp:17-26): wi_local.z = dot(ns, -d)
-            wiz = -_dot3(ns, d)
-            ok = active & is_em & (wiz > 0.0)
-            er, eg, eb = resolve_emit(bi)
-            res_r = jnp.where(ok, er, res_r)
-            res_g = jnp.where(ok, eg, res_g)
-            res_b = jnp.where(ok, eb, res_b)
-
-        thr_r = jnp.ones(shape, jnp.float32)
-        thr_g = jnp.ones(shape, jnp.float32)
-        thr_b = jnp.ones(shape, jnp.float32)
-
-        cnt = cnt0
-        # camera hit point o + t*d (solid formulation); bounce hits roll
-        # either o + t*d (mega Li) or the bilinear point (stash mode)
-        p = tuple(o[k] + d[k] * t for k in range(3))
-        for _depth in range(depth):
-            wiz_cam = -_dot3(ns, d)  # cos_i at this hit (local wi.z)
-
-            # ---- NEE (path.cpp:47-83) --------------------------------
-            u_nee = draw(cnt)
-            cnt += 1
-            # (the light's own normal is unused: the NEE geometry term reads
-            # the SHADOW HIT's face normal, path.cpp:62 via scene.cpp)
-            pl_, _nl = sample_light(u_nee[0], u_nee[1])
-            ps_pdf = jnp.full(shape, inv_area, jnp.float32)
-            active_direct = active & jnp.logical_not(is_em)
-            wod = tuple(pl_[k] - p[k] for k in range(3))
-            dist_sqr = _dot3(wod, wod)
-            dist = _safe_sqrt(dist_sqr)
-            inv_dist = _safe_div(1.0, dist)
-            wod = tuple(wod[k] * inv_dist for k in range(3))
-            t1, bi1, bu1, bv1 = closest_hit(p, wod)
+        # ---- Li --------------------------------------------------------
+        def eval_li(o, d, active, cnt):
+            t, bi, bu, bv = closest_hit(o, d)
             if stash:
-                put_stash(1 + 2 * _depth, bi1, bu1, bv1)
-            ns1, fn1, _alb1, is_em1 = resolve(bi1, bu1, bv1)
-            hit_light = (
-                active_direct & (bi1 >= 0)
-                & (t1 > dist - SHADOW_EPSILON) & is_em1
-            )
-            cos_val = -_dot3(fn1, wod)
-            g_val = _safe_div(jnp.abs(cos_val), dist_sqr)
-            # emitter_val = Le(its1): one-sided wrt its1 shading normal
-            wiz1 = -_dot3(ns1, wod)
-            le_ok = (bi1 >= 0) & is_em1 & (wiz1 > 0.0)
-            er, eg, eb = resolve_emit(bi1)
-            er = jnp.where(le_ok, er, 0.0)
-            eg = jnp.where(le_ok, eg, 0.0)
-            eb = jnp.where(le_ok, eb, 0.0)
-            # diffuse eval at wo_local.z = dot(ns, wod) (diffuse.cpp:24-40)
-            cos_o = _dot3(ns, wod)
-            f_ok = (wiz_cam > 0.0) & (cos_o > 0.0)
-            f_scale = jnp.where(f_ok, INV_PI * cos_o, 0.0)
-            w_nee = g_val * _safe_div(1.0, ps_pdf)
-            pdf1 = jnp.where(f_ok, INV_PI * cos_o, 0.0) * g_val
-            ok_nee = hit_light & (pdf1 != 0.0)
-            weight1 = _mis_weight(ps_pdf, pdf1)
-            scale = jnp.where(ok_nee, f_scale * w_nee * weight1, 0.0)
-            res_r = res_r + thr_r * alb[0] * er * scale
-            res_g = res_g + thr_g * alb[1] * eg * scale
-            res_b = res_b + thr_b * alb[2] * eb * scale
+                put_stash(0, bi, bu, bv)
+            valid = bi >= 0
+            active = active & valid
+            ns, fn, alb, is_em = resolve(bi, bu, bv)
 
-            # ---- BSDF bounce (path.cpp:85-123) -----------------------
-            u_b = draw(cnt)
-            cnt += 1
-            lx, ly, lz = _cosine_hemisphere(u_b[1], u_b[2])
-            bs_pdf = INV_PI * lz
-            s_f, t_f = _duff_frame(ns[0], ns[1], ns[2])
-            wo = tuple(
-                s_f[k] * lx + t_f[k] * ly + ns[k] * lz for k in range(3)
-            )
-            bs_valid = active & (wiz_cam > 0.0)
-            t2, bi2, bu2, bv2 = closest_hit(p, wo)
-            if stash:
-                put_stash(2 + 2 * _depth, bi2, bu2, bv2)
-            valid2 = bi2 >= 0
-            active = bs_valid & valid2
-            if stash:
-                ns2, fn2, alb2, is_em2, p2_bl = resolve(
-                    bi2, bu2, bv2, want_p=True)
-            else:
-                ns2, fn2, alb2, is_em2 = resolve(bi2, bu2, bv2)
-            cos_val2 = -_dot3(fn2, wo)
-            g2 = _safe_div(jnp.abs(cos_val2), jnp.maximum(t2 * t2, _TINY))
-            g2 = jnp.where(valid2, g2, 1.0)
-            pdf0 = bs_pdf * g2
-            # detached diffuse: eval/pdf = albedo (cosine cancellation),
-            # masked like the general path (wi.z>0 & wo.z>0, t>eps)
-            f2_ok = (wiz_cam > 0.0) & (lz > 0.0) & (t2 >= EPSILON)
-            bw = jnp.where(f2_ok & active, 1.0, 0.0)
-            thr_r = thr_r * alb[0] * bw
-            thr_g = thr_g * alb[1] * bw
-            thr_b = thr_b * alb[2] * bw
-            # MIS against NEE for the emitter hit
-            e_pdf = jnp.where((bi2 >= 0) & is_em2, inv_area, 0.0)
-            weight2 = _mis_weight(pdf0, e_pdf)
-            wiz2 = -_dot3(ns2, wo)
-            le2_ok = active & is_em2 & (wiz2 > 0.0)
-            er2, eg2, eb2 = resolve_emit(bi2)
-            lscale = jnp.where(le2_ok, weight2, 0.0)
-            res_r = res_r + thr_r * er2 * lscale
-            res_g = res_g + thr_g * eg2 * lscale
-            res_b = res_b + thr_b * eb2 * lscale
+            res_r = jnp.zeros(shape, jnp.float32)
+            res_g = jnp.zeros(shape, jnp.float32)
+            res_b = jnp.zeros(shape, jnp.float32)
+            if not hide_emitters:
+                # Le at the camera hit: one-sided constant radiance
+                # (area.cpp:17-26): wi_local.z = dot(ns, -d)
+                wiz = -_dot3(ns, d)
+                ok = active & is_em & (wiz > 0.0)
+                er, eg, eb = resolve_emit(bi)
+                res_r = jnp.where(ok, er, res_r)
+                res_g = jnp.where(ok, eg, res_g)
+                res_b = jnp.where(ok, eb, res_b)
 
-            # roll state for the next bounce.  p + wo*t2 is the exact
-            # expression tree the pre-refactor `o + d*t` built (o=p, d=wo,
-            # t=t2) — bitwise identical; stash mode rolls the bilinear
-            # point to match the XLA path-space reconstruction instead.
-            if stash:
-                p = p2_bl
-            else:
-                p = tuple(p[k] + wo[k] * t2 for k in range(3))
-            d = wo
-            ns, fn, alb, is_em = ns2, fn2, alb2, is_em2
+            thr_r = jnp.ones(shape, jnp.float32)
+            thr_g = jnp.ones(shape, jnp.float32)
+            thr_b = jnp.ones(shape, jnp.float32)
 
-        out_r[...] = res_r
-        out_g[...] = res_g
-        out_b[...] = res_b
+            # camera hit point o + t*d (solid formulation); bounce hits
+            # roll either o + t*d (mega Li) or the bilinear point (stash)
+            p = tuple(o[k] + d[k] * t for k in range(3))
+            for _depth in range(depth):
+                wiz_cam = -_dot3(ns, d)  # cos_i at this hit (local wi.z)
+
+                # ---- NEE (path.cpp:47-83) --------------------------------
+                u_nee = draw(cnt)
+                cnt += 1
+                # (the light's own normal is unused: the NEE geometry term reads
+                # the SHADOW HIT's face normal, path.cpp:62 via scene.cpp)
+                pl_, _nl = sample_light(u_nee[0], u_nee[1])
+                ps_pdf = jnp.full(shape, inv_area, jnp.float32)
+                active_direct = active & jnp.logical_not(is_em)
+                wod = tuple(pl_[k] - p[k] for k in range(3))
+                dist_sqr = _dot3(wod, wod)
+                dist = _safe_sqrt(dist_sqr)
+                inv_dist = _safe_div(1.0, dist)
+                wod = tuple(wod[k] * inv_dist for k in range(3))
+                t1, bi1, bu1, bv1 = closest_hit(p, wod)
+                if stash:
+                    put_stash(1 + 2 * _depth, bi1, bu1, bv1)
+                ns1, fn1, _alb1, is_em1 = resolve(bi1, bu1, bv1)
+                hit_light = (
+                    active_direct & (bi1 >= 0)
+                    & (t1 > dist - SHADOW_EPSILON) & is_em1
+                )
+                cos_val = -_dot3(fn1, wod)
+                g_val = _safe_div(jnp.abs(cos_val), dist_sqr)
+                # emitter_val = Le(its1): one-sided wrt its1 shading normal
+                wiz1 = -_dot3(ns1, wod)
+                le_ok = (bi1 >= 0) & is_em1 & (wiz1 > 0.0)
+                er, eg, eb = resolve_emit(bi1)
+                er = jnp.where(le_ok, er, 0.0)
+                eg = jnp.where(le_ok, eg, 0.0)
+                eb = jnp.where(le_ok, eb, 0.0)
+                # diffuse eval at wo_local.z = dot(ns, wod) (diffuse.cpp:24-40)
+                cos_o = _dot3(ns, wod)
+                f_ok = (wiz_cam > 0.0) & (cos_o > 0.0)
+                f_scale = jnp.where(f_ok, INV_PI * cos_o, 0.0)
+                w_nee = g_val * _safe_div(1.0, ps_pdf)
+                pdf1 = jnp.where(f_ok, INV_PI * cos_o, 0.0) * g_val
+                ok_nee = hit_light & (pdf1 != 0.0)
+                weight1 = _mis_weight(ps_pdf, pdf1)
+                scale = jnp.where(ok_nee, f_scale * w_nee * weight1, 0.0)
+                res_r = res_r + thr_r * alb[0] * er * scale
+                res_g = res_g + thr_g * alb[1] * eg * scale
+                res_b = res_b + thr_b * alb[2] * eb * scale
+
+                # ---- BSDF bounce (path.cpp:85-123) -----------------------
+                u_b = draw(cnt)
+                cnt += 1
+                lx, ly, lz = _cosine_hemisphere(u_b[1], u_b[2])
+                bs_pdf = INV_PI * lz
+                s_f, t_f = _duff_frame(ns[0], ns[1], ns[2])
+                wo = tuple(
+                    s_f[k] * lx + t_f[k] * ly + ns[k] * lz for k in range(3)
+                )
+                bs_valid = active & (wiz_cam > 0.0)
+                t2, bi2, bu2, bv2 = closest_hit(p, wo)
+                if stash:
+                    put_stash(2 + 2 * _depth, bi2, bu2, bv2)
+                valid2 = bi2 >= 0
+                active = bs_valid & valid2
+                if stash:
+                    ns2, fn2, alb2, is_em2, p2_bl = resolve(
+                        bi2, bu2, bv2, want_p=True)
+                else:
+                    ns2, fn2, alb2, is_em2 = resolve(bi2, bu2, bv2)
+                cos_val2 = -_dot3(fn2, wo)
+                g2 = _safe_div(jnp.abs(cos_val2), jnp.maximum(t2 * t2, _TINY))
+                g2 = jnp.where(valid2, g2, 1.0)
+                pdf0 = bs_pdf * g2
+                # detached diffuse: eval/pdf = albedo (cosine cancellation),
+                # masked like the general path (wi.z>0 & wo.z>0, t>eps)
+                f2_ok = (wiz_cam > 0.0) & (lz > 0.0) & (t2 >= EPSILON)
+                bw = jnp.where(f2_ok & active, 1.0, 0.0)
+                thr_r = thr_r * alb[0] * bw
+                thr_g = thr_g * alb[1] * bw
+                thr_b = thr_b * alb[2] * bw
+                # MIS against NEE for the emitter hit
+                e_pdf = jnp.where((bi2 >= 0) & is_em2, inv_area, 0.0)
+                weight2 = _mis_weight(pdf0, e_pdf)
+                wiz2 = -_dot3(ns2, wo)
+                le2_ok = active & is_em2 & (wiz2 > 0.0)
+                er2, eg2, eb2 = resolve_emit(bi2)
+                lscale = jnp.where(le2_ok, weight2, 0.0)
+                res_r = res_r + thr_r * er2 * lscale
+                res_g = res_g + thr_g * eg2 * lscale
+                res_b = res_b + thr_b * eb2 * lscale
+
+                # roll state for the next bounce.  p + wo*t2 is the exact
+                # expression tree the pre-refactor `o + d*t` built (o=p, d=wo,
+                # t=t2) — bitwise identical; stash mode rolls the bilinear
+                # point to match the XLA path-space reconstruction instead.
+                if stash:
+                    p = p2_bl
+                else:
+                    p = tuple(p[k] + wo[k] * t2 for k in range(3))
+                d = wo
+                ns, fn, alb, is_em = ns2, fn2, alb2, is_em2
+
+            return res_r, res_g, res_b
+
+        act_b = act[...] > 0
+        o = (ox[...], oy[...], oz[...])
+        d0 = (dx[...], dy[...], dz[...])
+        if pair:
+            oxp, oyp, ozp, dxp, dyp, dzp = ray_comp_refs[6:]
+            rn = eval_li(o, d0, act_b, cnt0)
+            rp = eval_li(
+                (oxp[...], oyp[...], ozp[...]),
+                (dxp[...], dyp[...], dzp[...]), act_b, cnt0 + 2 * depth)
+            out_r[...] = rn[0] - rp[0]
+            out_g[...] = rn[1] - rp[1]
+            out_b[...] = rn[2] - rp[2]
+        else:
+            res_r, res_g, res_b = eval_li(o, d0, act_b, cnt0)
+            out_r[...] = res_r
+            out_g[...] = res_g
+            out_b[...] = res_b
 
     return kernel
 
@@ -564,13 +590,14 @@ def build_tables(sd):
 
 def _li_mega_impl(tri_tab, box_tab, attr, light, misc, ray_o, ray_d, active,
                   lane, seed, depth: int, cnt0: int, hide_emitters: bool,
-                  interpret: bool, stash: bool):
+                  interpret: bool, stash: bool, ray2: tuple = None):
     n = ray_o.shape[0]
     f_pad = tri_tab.shape[1]
     n_clusters = f_pad // CLUSTER_SMALL
     n_light = light.shape[1]
     tile = R_ROWS_MEGA * LANES
     n_pad = -(-n // tile) * tile
+    pair = ray2 is not None
 
     def pad_ray(x, fill):
         if n_pad != n:
@@ -584,6 +611,11 @@ def _li_mega_impl(tri_tab, box_tab, attr, light, misc, ray_o, ray_d, active,
         + [pad_ray(ray_o[:, i], 0.0) for i in range(3)]
         + [pad_ray(ray_d[:, i], 1.0) for i in range(3)]
     )
+    if pair:
+        comps += (
+            [pad_ray(ray2[0][:, i], 0.0) for i in range(3)]
+            + [pad_ray(ray2[1][:, i], 1.0) for i in range(3)]
+        )
     n_rows = n_pad // LANES
     grid = (n_rows // R_ROWS_MEGA,)
     ray_spec = pl.BlockSpec(
@@ -600,12 +632,12 @@ def _li_mega_impl(tri_tab, box_tab, attr, light, misc, ray_o, ray_d, active,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=grid,
-        in_specs=[ray_spec] * 8,
+        in_specs=[ray_spec] * len(comps),
         out_specs=[ray_spec] * len(out_shape),
     )
     out = pl.pallas_call(
         _mk_kernel(f_pad, n_clusters, n_light, depth, cnt0, hide_emitters,
-                   stash=stash),
+                   stash=stash, pair=pair),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -637,6 +669,29 @@ def li_mega(tri_tab, box_tab, attr, light, misc, ray_o, ray_d, active, lane,
     return _li_mega_impl(tri_tab, box_tab, attr, light, misc, ray_o, ray_d,
                          active, lane, seed, depth, cnt0, hide_emitters,
                          interpret, stash=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth", "cnt0", "hide_emitters", "interpret"),
+)
+def li_mega_pair(tri_tab, box_tab, attr, light, misc, ray_o_n, ray_d_n,
+                 ray_o_p, ray_d_p, active, lane, seed, depth: int, cnt0: int,
+                 hide_emitters: bool = False, interpret: bool = False):
+    """``Li(ray_n) - Li(ray_p)`` for (N, 3) ray pairs — ONE Pallas launch.
+
+    The primary-edge boundary term needs only the detached radiance
+    DIFFERENCE across each screen edge (reference integrator.cpp:185-186,
+    one fused drjit kernel evaluating both sides).  Evaluating both Li in
+    one kernel halves launch count and per-launch fixed costs vs two
+    ``li_mega`` calls; ray_n consumes draw counters ``cnt0..cnt0+2*depth-1``
+    and ray_p the next ``2*depth``, exactly the two sequential calls'
+    sampler schedule, so the result equals their subtraction.
+    """
+    return _li_mega_impl(tri_tab, box_tab, attr, light, misc, ray_o_n,
+                         ray_d_n, active, lane, seed, depth, cnt0,
+                         hide_emitters, interpret, stash=False,
+                         ray2=(ray_o_p, ray_d_p))
 
 
 def li_mega_stash(tri_tab, box_tab, attr, light, misc, ray_o, ray_d, active,

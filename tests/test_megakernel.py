@@ -105,6 +105,36 @@ def test_renderc_uses_megakernel_consistently(cbox):
     assert frac_diff < 0.1, frac_diff
 
 
+@pytest.mark.parametrize("depth", [0, 2])
+def test_li_pair_matches_sequential(cbox, depth):
+    """li_mega_pair (one paired launch) is BITWISE the subtraction of the
+    two sequential li_mega calls it replaces: ray_n consumes cnt0..cnt0+2d-1
+    and ray_p the next 2d draws, identical math order per side."""
+    from psdr_jit_tpu.core.types import Ray
+    from psdr_jit_tpu.core.math import normalize
+
+    sd = jax.lax.stop_gradient(cbox.data)
+    integ = psdr.PathTracer(depth)
+    ray_n, sampler, active = _camera_rays(sd, 32, 32, 1, seed=9)
+    # second ray set: nudged directions (stand-in for the edge's far side)
+    ray_p = Ray(ray_n.o, normalize(ray_n.d + jnp.asarray([2e-3, 0.0, 0.0])))
+
+    old = mega.MEGA_MODE
+    try:
+        mega.MEGA_MODE = "interpret"
+        s1 = Sampler(jnp.uint32(9), sampler.lane)
+        s1.cnt = sampler.cnt
+        li_n = np.asarray(integ.Li(sd, s1, ray_n, active, diff=False))
+        li_p = np.asarray(integ.Li(sd, s1, ray_p, active, diff=False))
+        s2 = Sampler(jnp.uint32(9), sampler.lane)
+        s2.cnt = sampler.cnt
+        delta = np.asarray(integ.Li_pair(sd, s2, ray_n, ray_p, active))
+        assert s1.cnt == s2.cnt  # pair advances two Li's worth of draws
+    finally:
+        mega.MEGA_MODE = old
+    np.testing.assert_array_equal(delta, li_n - li_p)
+
+
 def test_primary_edge_pass_through_megakernel():
     """The PE boundary estimator (two detached Li per lane — the megakernel's
     production use) keeps its analytic gradient: d(mean)/d(tx) = 0.5.
