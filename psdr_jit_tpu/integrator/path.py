@@ -146,9 +146,13 @@ class PathTracer(SecondaryEdgeMixin, Integrator):
         (ops.megakernel.li_mega_pair) when the detached megakernel applies,
         halving the PE pass's launch count vs two sequential Li calls
         (mirrors integrator.cpp:185-186's single fused delta_L kernel)."""
+        import os as _os
         from ..ops import megakernel as mega
 
         use, interp = mega.enabled()
+        # PSDR_PE_PAIR=0: A/B escape hatch back to two sequential launches
+        if _os.environ.get("PSDR_PE_PAIR", "1") == "0":
+            use = False
         if use and mega.applicable(sd):
             sd_det = jax.lax.stop_gradient(sd)
             tables = mega.build_tables(sd_det)

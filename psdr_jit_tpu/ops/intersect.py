@@ -170,7 +170,11 @@ def ray_intersect_detached(tri_p0, tri_e1, tri_e2, ray, active=None,
 
     if backend == "auto":
         backend = _os.environ.get("PSDR_INTERSECT", "auto")
-    use_pallas = backend == "pallas" or (
+    # "interpret": run the full Pallas routing (incl. the sorted-ray BVH
+    # path) through the Pallas interpreter — CPU tests of the exact
+    # TPU-path program structure (e.g. sharded BVH/envmap consistency)
+    interpret = backend == "interpret"
+    use_pallas = backend in ("pallas", "interpret") or (
         backend == "auto" and jax.default_backend() == "tpu"
     )
     # The dense Pallas kernels need no ray substitution: their hit test is
@@ -200,7 +204,8 @@ def ray_intersect_detached(tri_p0, tri_e1, tri_e2, ray, active=None,
         # liveness reaches the BVH path so dead/NaN lanes are parked
         # outside the scene (tile-level wavefront compaction, ops/bvh.py)
         tri_id, valid, uv, t = ray_intersect_pallas(
-            p0, e1, e2, o2, d2, active=finite.reshape(-1)
+            p0, e1, e2, o2, d2, active=finite.reshape(-1),
+            interpret=interpret,
         )
     else:
         tri_id, valid, uv, t = ray_intersect_brute(p0, e1, e2, o2, d2)
