@@ -36,9 +36,14 @@ alone; only interleaved A/Bs are meaningful — see CLAUDE.md.)  bf16x3
 stays the default: one MXU dot instead of six passes scales better with
 triangle count F, and the result is exact.
 
-Domain: |t| must not exceed bf16 max (~3.39e38) or the hi part overflows
-and the row comes back NaN — loud, never silently wrong (scene data is
-scrubbed finite and far below this).
+Exactness on HARDWARE requires the masked-truncation split
+(:func:`_trunc_parts`): the convert-pair formulation ``bf16(t); t - f32
+(hi)`` is collapsed by XLA's excess-precision elision on TPU (residuals
+become zero, the gather silently degrades to ONE bf16 pass — found
+2026-08-20; CPU, with no elision, stayed bitwise, which is why CI never
+saw it).  The masked split is also total over f32: no bf16-max overflow
+cliff (the truncated hi saturates at bf16 max finite and the residual
+parts carry the rest).
 
 Set ``PSDR_GATHER=highest`` to fall back to the plain 6-pass f32 matmul
 when isolating numerical questions.
@@ -60,13 +65,43 @@ def _gather_mode():
     return os.environ.get("PSDR_GATHER", "bf16x3")
 
 
+def _trunc_bf16(x):
+    """Truncate f32 to its top 8 significand bits by masking — the result
+    is exactly bf16-representable, computed WITHOUT a convert pair.
+
+    The obvious formulation ``hi = bf16(x); r = x - f32(hi)`` is broken on
+    TPU (found 2026-08-20): XLA's excess-precision elision rewrites
+    ``f32(bf16(x))`` back to ``x``, so the residual collapses to ZERO and
+    the "exact" 3-part split silently degrades to one bf16 pass — every
+    one-hot gather was bf16-quality on hardware while CPU CI (no elision)
+    stayed bitwise.  Bit masking has no convert for the simplifier to
+    touch; truncation (toward zero) instead of round-to-nearest changes
+    the parts but not the exactness of hi+mid+lo == x."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def _trunc_parts(m):
+    """Exact 3-way split: bf16 parts with hi+mid+lo == m BITWISE.
+
+    f32 has a 24-bit significand = 3 x 8-bit bf16 significands; each
+    masked truncation removes the top 8 remaining bits and the residual
+    subtraction is exact (the operands share sign and exponent), so
+    ``lo`` holds the final <= 8 bits exactly.  Converting each part to
+    bf16 is exact (their low significand bits are zero by construction),
+    and bf16 shares f32's exponent range so no part can over/underflow."""
+    hi = _trunc_bf16(m)
+    r1 = m - hi
+    mid = _trunc_bf16(r1)
+    lo = r1 - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
+
+
 def _split3(m):
     """Exact 3-way bf16 split along a new trailing concat: hi+mid+lo == m."""
-    hi = m.astype(jnp.bfloat16)
-    r1 = m - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, mid, lo], axis=-1)
+    return jnp.concatenate(_trunc_parts(m), axis=-1)
 
 
 def _sel3(oh3, matrix):
@@ -105,11 +140,7 @@ def _scat3(oh3, ct):
 
 def _split3_rows(m):
     """Exact 3-way bf16 split stacked along ROWS: vcat(hi, mid, lo)."""
-    hi = m.astype(jnp.bfloat16)
-    r1 = m - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, mid, lo], axis=0)
+    return jnp.concatenate(_trunc_parts(m), axis=0)
 
 
 def _sel3_t(oh3t, matrix):

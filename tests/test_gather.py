@@ -90,10 +90,12 @@ def test_extreme_values_exact(val):
     assert bool(jnp.all(out == m[jnp.asarray([0, 3])]))
 
 
-def test_beyond_bf16_max_is_loud_not_silent():
-    """|t| > bf16 max (~3.39e38) overflows the hi part; the formulation
-    yields NaN (inf - inf), never a silently wrong value.  Scene data is
-    scrubbed finite and orders of magnitude below this."""
+def test_beyond_bf16_max_stays_exact():
+    """The masked-truncation split has no overflow cliff: |t| beyond the
+    bf16 ROUNDING max (~3.39e38) still reconstructs exactly — the hi
+    part's truncation saturates at bf16's max finite and the residual
+    parts carry the remainder.  (The pre-2026-08-20 formulation NaN'd
+    here; the masked split is strictly stronger: exact over all of f32.)"""
     m = jnp.full((4, 2), 3.4e38, jnp.float32)
     out = gather_rows(m, jnp.asarray([1], jnp.int32))
-    assert bool(jnp.all(jnp.isnan(out)))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(m)[1:2])

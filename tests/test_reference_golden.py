@@ -13,6 +13,19 @@ against the only reference artifacts that exist.
 
 The reference assets stay in /root/reference (read at runtime, never
 copied); the whole module skips when they are absent.
+
+BASELINE config #2 (the README.md:42-116 inverse-rendering example at
+512², depth 3, all three estimators) has NO external golden and cannot
+get one here (noted 2026-08-20): the reference is CUDA+OptiX-only — this
+machine has no NVIDIA GPU or driver (`nvidia-smi` absent), so a one-off
+reference run is infeasible, and the reference publishes no rendered
+artifact for that config (its README shows code, not output).  Config #2
+is instead gated by (a) the tutorial goldens here — same scene assets and
+integrator at 256²/depth-1 — (b) the envmap goldens
+(test_envmap_golden.py) for config #3, and (c) internal cross-path
+consistency at the full workload: prb == chunk == fused == jvp
+(test_fused.py, test_prb.py) plus the analytic edge oracles
+(test_grad_edges.py).
 """
 
 import base64
