@@ -54,6 +54,16 @@ TILE_ROWS = int(_os.environ.get("PSDR_BVH_TILE_ROWS", "64"))
 # disable the front-to-back early-out / dead-lane parking to measure each
 EARLY_OUT = _os.environ.get("PSDR_BVH_EARLYOUT", "1") != "0"
 PARK_DEAD = _os.environ.get("PSDR_BVH_PARK", "1") != "0"
+# Guaranteed-occluder proxy pre-pass (the t-bound lever, VERDICT r3 #7):
+# densely sweep the N largest-area triangles first; every hit is a REAL
+# hit, so its t upper-bounds the closest hit.  The indexed kernel starts
+# from that state instead of (INF, -1) and — unlike the in-kernel
+# early-out, which only skips ALU after the DMA already happened — blocks
+# whose conservative entry exceeds every lane's bound are dropped from the
+# fetch list in XLA, cutting DMA and grid steps.  In a closed room
+# (gallery class) the few big wall/floor triangles bound every ray.
+# 0 = off.
+PROXY_TRIS = int(_os.environ.get("PSDR_BVH_PROXY", "0"))
 
 
 # ---------------------------------------------------------------------------
@@ -240,12 +250,17 @@ def build_fetch_list(visit, t_near=None):
 # 3. Indexed-streaming Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _kernel_indexed():
+def _kernel_indexed(proxy: bool = False):
     from .intersect_pallas import sweep_block
 
     def kernel(fetch_ref, cnt_ref, tnear_ref, tri_ref, box_ref,
-               ox, oy, oz, dx, dy, dz,
-               out_t, out_id, out_u, out_v):
+               ox, oy, oz, dx, dy, dz, *rest):
+        if proxy:
+            # pre-pass closest-hit state: genuine proxy-triangle hits
+            (pt, pid, pu, pv) = rest[:4]
+            out_t, out_id, out_u, out_v = rest[4:]
+        else:
+            out_t, out_id, out_u, out_v = rest
         """tri_ref: (1, 9, SUPER) SMEM block chosen by fetch_ref;
         box_ref: (1, 6, SUPER//CLUSTER) SMEM; rays: (TILE_ROWS, 128) VMEM.
 
@@ -259,10 +274,16 @@ def _kernel_indexed():
 
         @pl.when(k == 0)
         def _():
-            out_t[...] = jnp.full(shape, _INF, jnp.float32)
-            out_id[...] = jnp.full(shape, -1, jnp.int32)
-            out_u[...] = jnp.zeros(shape, jnp.float32)
-            out_v[...] = jnp.zeros(shape, jnp.float32)
+            if proxy:
+                out_t[...] = pt[...]
+                out_id[...] = pid[...]
+                out_u[...] = pu[...]
+                out_v[...] = pv[...]
+            else:
+                out_t[...] = jnp.full(shape, _INF, jnp.float32)
+                out_id[...] = jnp.full(shape, -1, jnp.int32)
+                out_u[...] = jnp.zeros(shape, jnp.float32)
+                out_v[...] = jnp.zeros(shape, jnp.float32)
 
         # front-to-back early-out: slot k's conservative entry distance is
         # a floor on any new hit it could produce; when every lane already
@@ -286,9 +307,11 @@ def _kernel_indexed():
 
 
 def _call_indexed(tri_s, boxes_s, fetch, counts, tnear_slots, ray_comps,
-                  interpret):
+                  interpret, proxy_init=None):
     """tri_s: (n_blocks, 9, SUPER); boxes_s: (n_blocks, 6, SUPER//64);
-    fetch: (n_tiles, kmax); counts: (n_tiles,); rays: (n_rows, 128)."""
+    fetch: (n_tiles, kmax); counts: (n_tiles,); rays: (n_rows, 128);
+    ``proxy_init``: optional (t, id, u, v) closest-hit state from the
+    guaranteed-occluder pre-pass, in the same (n_rows, LANES) layout."""
     n_blocks = tri_s.shape[0]
     n_tiles, kmax = fetch.shape
     n_rows = ray_comps[0].shape[0]
@@ -307,14 +330,15 @@ def _call_indexed(tri_s, boxes_s, fetch, counts, tnear_slots, ray_comps,
         lambda i, k, fetch_ref, *_: (fetch_ref[i, k], 0, 0),
         memory_space=pltpu.SMEM,
     )
+    extra = list(proxy_init) if proxy_init is not None else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles, kmax),
-        in_specs=[tri_spec, box_spec] + [ray_spec] * 6,
+        in_specs=[tri_spec, box_spec] + [ray_spec] * (6 + len(extra)),
         out_specs=[ray_spec] * 4,
     )
     out = pl.pallas_call(
-        _kernel_indexed(),
+        _kernel_indexed(proxy=proxy_init is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
@@ -323,7 +347,7 @@ def _call_indexed(tri_s, boxes_s, fetch, counts, tnear_slots, ray_comps,
             jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(fetch, counts, tnear_slots, tri_s, boxes_s, *ray_comps)
+    )(fetch, counts, tnear_slots, tri_s, boxes_s, *ray_comps, *extra)
     out_t, out_id, out_u, out_v = out
     out_id = jnp.where(out_t < _INF, out_id, -1)
     return out_t, out_id, out_u, out_v
@@ -413,7 +437,44 @@ def ray_intersect_bvh(p0, e1, e2, ray_o, ray_d, active=None,
     # block AABBs is unnecessary (they never hit), but an all-degenerate
     # padding block gets a point AABB and is culled for most tiles anyway.
 
+    proxy_init = None
+    t_cull = None
+    if PROXY_TRIS > 0:
+        # Guaranteed-occluder pre-pass: dense sweep of the largest-area
+        # triangles (padding rows are degenerate, area 0, never in top-k).
+        # Every hit is a REAL closest-hit candidate: its t is a sound
+        # per-ray upper bound, so (a) the indexed kernel starts from this
+        # state and (b) blocks entering beyond every lane's bound drop
+        # out of the fetch list BEFORE any DMA.
+        from .intersect_pallas import ray_intersect_pallas, SMALL_MAX_TRIS
+        from .gather import gather_rows_t
+
+        kp = min(PROXY_TRIS, f, SMALL_MAX_TRIS)
+        area2 = jnp.sum(jnp.square(jnp.cross(e1[:f], e2[:f])), axis=-1)
+        _, top = jax.lax.top_k(area2, kp)
+        top = jnp.sort(top)  # keep Morton order for tight cluster boxes
+        pid_, pvalid_, puv_, pt_ = ray_intersect_pallas(
+            p0[top], e1[top], e2[top], ray_o, ray_d, interpret=interpret
+        )
+        # map proxy-set ids to global ids WITHOUT a per-lane int gather
+        # (small-table gathers serialize through SMEM in-context,
+        # CLAUDE.md) — one-hot MXU dot on the f32-exact id table
+        mapped = gather_rows_t(
+            top.astype(jnp.float32)[:, None], jnp.maximum(pid_, 0)
+        )[0]
+        pid = jnp.where(pvalid_, mapped.astype(jnp.int32), -1)
+        t_ub = jnp.where(pvalid_, pt_, _INF)
+        t_cull = t_ub.reshape(-1, tile).max(axis=1)          # (n_tiles,)
+        proxy_init = (
+            t_ub.reshape(n_pad // LANES, LANES),
+            pid.reshape(n_pad // LANES, LANES),
+            puv_[:, 0].reshape(n_pad // LANES, LANES),
+            puv_[:, 1].reshape(n_pad // LANES, LANES),
+        )
+
     visit, t_near = tile_block_visit(ray_o, ray_d, block_lo, block_hi, tile)
+    if t_cull is not None:
+        visit = visit & (t_near <= t_cull[:, None])
     fetch, counts, tnear_slots = build_fetch_list(visit, t_near)
     if not EARLY_OUT:
         # zeros never beat out_t (INF-initialized, hits have t > 0): the
@@ -425,7 +486,8 @@ def ray_intersect_bvh(p0, e1, e2, ray_o, ray_d, active=None,
     ] + [ray_d[:, i].reshape(n_pad // LANES, LANES) for i in range(3)]
 
     out_t, out_id, out_u, out_v = _call_indexed(
-        tri_s, boxes_s, fetch, counts, tnear_slots, ray_comps, interpret
+        tri_s, boxes_s, fetch, counts, tnear_slots, ray_comps, interpret,
+        proxy_init=proxy_init,
     )
 
     tri_id = out_id.reshape(-1)

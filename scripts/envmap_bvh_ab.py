@@ -52,12 +52,28 @@ VARIANTS = [
     (32, 512, 64),
     (64, 256, 64),
     (64, 256, 32),
-    (32, 128, 32),
 ]
+
+from psdr_jit_tpu.ops import intersect_pallas as ip
+
+# ray_intersect_bvh / ray_intersect_pallas are themselves jitted: their
+# jaxpr caches are keyed on (shapes, statics) only, so a module-knob
+# change would silently serve the FIRST variant's trace (found
+# 2026-08-20).  Re-wrap per variant => fresh inner caches; the callers
+# import them late (module attribute lookup), so patching sticks.
+BVH_IMPL = bvh.ray_intersect_bvh.__wrapped__
+IP_IMPL = ip.ray_intersect_pallas.__wrapped__
+
+def refresh_inner_jits():
+    bvh.ray_intersect_bvh = jax.jit(
+        BVH_IMPL, static_argnames=("interpret", "sort"))
+    ip.ray_intersect_pallas = jax.jit(
+        IP_IMPL, static_argnames=("interpret",))
 
 fns, loss0 = {}, {}
 for tr, su, cl in VARIANTS:
     bvh.TILE_ROWS, bvh.SUPER, bvh.CLUSTER = tr, su, cl
+    refresh_inner_jits()
 
     def step(p, s, tgt, _integ=integ):
         def ploss(rows, pix):
@@ -66,15 +82,20 @@ for tr, su, cl in VARIANTS:
 
     fn = jax.jit(step)
     t0 = time.perf_counter()
-    out = fn(p0, jnp.uint32(0), target)
-    loss0[(tr, su, cl)] = float(out[0])
+    try:
+        out = fn(p0, jnp.uint32(0), target)
+        loss0[(tr, su, cl)] = float(out[0])
+    except Exception as e:  # noqa: BLE001 — one bad variant must not
+        print(f"variant tile={tr} super={su} cluster={cl} FAILED: {e}",
+              flush=True)          # kill the whole timing run
+        continue
     print(f"compiled tile={tr} super={su} cluster={cl} in "
           f"{time.perf_counter()-t0:.0f}s  loss={loss0[(tr, su, cl)]:.4f}",
           flush=True)
     fns[(tr, su, cl)] = fn
 bvh.TILE_ROWS, bvh.SUPER, bvh.CLUSTER = 64, 512, 64
 
-ref = loss0[VARIANTS[0]]
+ref = list(loss0.values())[0]
 for k, v in loss0.items():
     assert abs(v - ref) / abs(ref) < 1e-3, (k, v, ref)
 

@@ -190,3 +190,35 @@ def test_bvh_dead_lane_parking():
                                   np.asarray(tri_p)[live])
     np.testing.assert_allclose(np.asarray(t_a)[live],
                                np.asarray(t_p)[live], rtol=1e-6)
+
+
+def test_bvh_proxy_tbound_equality():
+    """The guaranteed-occluder proxy pre-pass (PSDR_BVH_PROXY) is a pure
+    optimization: results identical to the plain path.  Fresh jit wrappers
+    per variant — ray_intersect_bvh's own jaxpr cache is keyed on shapes
+    and statics only, so flipping the module knob without a fresh wrapper
+    silently reuses the first trace (the staleness found 2026-08-20)."""
+    import jax as _jax
+    from psdr_jit_tpu.ops import bvh as _bvh
+
+    p0, e1, e2, ro, rd = _random_scene(n_tri=900, n_ray=640, seed=31)
+    # add a big floor triangle below everything so the proxy has a real
+    # large-area occluder to bound downward rays with
+    p0 = np.concatenate([p0, [[-50, -50, -5]]]).astype(np.float32)
+    e1 = np.concatenate([e1, [[100, 0, 0]]]).astype(np.float32)
+    e2 = np.concatenate([e2, [[0, 100, 0]]]).astype(np.float32)
+    args = (jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2),
+            jnp.asarray(ro), jnp.asarray(rd))
+    impl = _bvh.ray_intersect_bvh.__wrapped__
+    old = _bvh.PROXY_TRIS
+    try:
+        _bvh.PROXY_TRIS = 0
+        r0 = _jax.jit(impl, static_argnames=("interpret", "sort"))(
+            *args, interpret=True)
+        _bvh.PROXY_TRIS = 64
+        r1 = _jax.jit(impl, static_argnames=("interpret", "sort"))(
+            *args, interpret=True)
+    finally:
+        _bvh.PROXY_TRIS = old
+    for a, b in zip(r0, r1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
