@@ -87,6 +87,17 @@ CHUNK_LANES = int(_os.environ.get("PSDR_CHUNK_LANES", 96 * 1024))
 EDGE_CHUNK_LANES = int(
     _os.environ.get("PSDR_EDGE_CHUNK_LANES", 1 << 15)
 )
+# Edge-pass chunk size for scenes that route to the sorted-ray BVH
+# intersector (> ops.intersect_pallas.BVH_MIN_TRIS faces).  Every Li bounce
+# there pays real per-call machinery (two lax.sorts, dense tile-vs-block
+# culling, fetch-list build), so big chunks amortize it: on BASELINE #3
+# (envmap bunny, 128², sppe=sppse=32) edge chunks of 512k lanes measure
+# 417.9 ms/step vs 568.0 at the cbox-tuned 32k (scripts/envmap_chunk_ab.py,
+# interleaved, 2026-08-20).  The cbox-class small-scene path keeps 32k
+# (its optimum; bigger chunks measured worse there).
+EDGE_CHUNK_LANES_BVH = int(
+    _os.environ.get("PSDR_EDGE_CHUNK_BVH", 1 << 19)
+)
 
 
 def _chunked_pixel_map(render_chunk, pix, spp: int, checkpoint: bool):
@@ -137,9 +148,24 @@ def pad_pixel_chunks(pix, spp: int):
     return pix_chunks, row_valid
 
 
+def edge_chunk_lanes(sd) -> int:
+    """Edge-pass chunk size routed on the scene's intersect path.
+
+    Scenes above ``BVH_MIN_TRIS`` faces intersect through the sorted-ray
+    block-culled BVH whose per-call fixed machinery (sorts, tile culling,
+    fetch lists) amortizes with chunk size — measured 568 → 418 ms/step on
+    BASELINE #3 at 512k-lane edge chunks.  Small scenes keep the 32k
+    optimum (see EDGE_CHUNK_LANES[_BVH] above)."""
+    from ..ops.intersect_pallas import BVH_MIN_TRIS
+
+    if sd.face_mesh_id.shape[0] > BVH_MIN_TRIS:
+        return EDGE_CHUNK_LANES_BVH
+    return EDGE_CHUNK_LANES
+
+
 def _chunked_splat_sum(chunk_vals, n_samples: int, n_pix: int,
                        lane_offset=None, lane_total: int = None,
-                       stack_dtype=None):
+                       stack_dtype=None, chunk_lanes: int = None):
     """Splat edge-sample chunks into an (n_pix, 3) image.
 
     ``chunk_vals(lane_chunk, active)`` -> ``(values (chunk, 3), idx (chunk,))``
@@ -176,15 +202,16 @@ def _chunked_splat_sum(chunk_vals, n_samples: int, n_pix: int,
     off = jnp.uint32(0) if lane_offset is None else jnp.asarray(
         lane_offset, jnp.uint32
     )
-    if n_samples <= EDGE_CHUNK_LANES:
+    ecl = EDGE_CHUNK_LANES if chunk_lanes is None else chunk_lanes
+    if n_samples <= ecl:
         lanes = off + jnp.arange(n_samples, dtype=jnp.uint32)
         values, idx = chunk_vals(lanes, lanes < jnp.uint32(lane_total))
         return splat_add_derivative_only(values, idx, n_pix)
-    k = -(-n_samples // EDGE_CHUNK_LANES)
-    n_pad = k * EDGE_CHUNK_LANES
-    lanes = off + jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, EDGE_CHUNK_LANES)
+    k = -(-n_samples // ecl)
+    n_pad = k * ecl
+    lanes = off + jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, ecl)
     mask = (lanes < jnp.uint32(lane_total)) & (
-        jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, EDGE_CHUNK_LANES)
+        jnp.arange(n_pad, dtype=jnp.uint32).reshape(k, ecl)
         < jnp.uint32(n_samples)
     )
     # edge chunks always remat unless explicitly disabled: without the
@@ -513,4 +540,5 @@ class Integrator(Object):
         return _chunked_splat_sum(chunk_vals, n_samples, opts.num_pixels,
                                   lane_offset=lane_offset,
                                   lane_total=lane_total,
-                                  stack_dtype=stack_dtype)
+                                  stack_dtype=stack_dtype,
+                                  chunk_lanes=edge_chunk_lanes(sd))

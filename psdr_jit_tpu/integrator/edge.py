@@ -217,7 +217,8 @@ class SecondaryEdgeMixin:
                                lane_offset=None, lane_count=None,
                                lane_total=None, stack_dtype=None):
         """path.cpp:274-294; returns the derivative-only (n_pix, 3) image."""
-        from .base import STREAM_SECONDARY, _chunked_splat_sum
+        from .base import (STREAM_SECONDARY, _chunked_splat_sum,
+                           edge_chunk_lanes)
 
         n_samples = (opts.num_pixels * opts.sppse
                      if lane_count is None else lane_count)
@@ -244,4 +245,5 @@ class SecondaryEdgeMixin:
         return _chunked_splat_sum(chunk_vals, n_samples, opts.num_pixels,
                                   lane_offset=lane_offset,
                                   lane_total=lane_total,
-                                  stack_dtype=stack_dtype)
+                                  stack_dtype=stack_dtype,
+                                  chunk_lanes=edge_chunk_lanes(sd))

@@ -62,7 +62,10 @@ VARIANTS = [
 
 fns, loss0 = {}, {}
 for ec, ic in VARIANTS:
+    # the bunny routes to the BVH edge-chunk default since 2026-08-20;
+    # pin both knobs so the sweep still controls the traced size
     ibase.EDGE_CHUNK_LANES, ibase.CHUNK_LANES = ec, ic
+    ibase.EDGE_CHUNK_LANES_BVH = ec
 
     def step(p, s, tgt, _integ=integ):
         def ploss(rows, pix):
