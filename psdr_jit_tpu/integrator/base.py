@@ -36,11 +36,28 @@ STREAM_SECONDARY = 2
 
 # Primary-edge pass: evaluate Li(ray_n)‖Li(ray_p) as ONE double-width
 # batch with common random numbers, vs two sequential calls matching the
-# reference's draw order.  Measured on v5e full-term fused step
-# (2026-08-17): stacked 809 ms/step vs sequential 741 — the double-width
-# body loses more to working-set pressure than halved op count gains
-# (also at 32k chunks: 808.9).  Sequential stays the default.
-_PE_STACK = _os.environ.get("PSDR_PE_STACK", "0") != "0"
+# reference's draw order.  Routed per scene class ("auto"):
+# - small scenes (Pallas sweep path): sequential.  Measured on the v5e
+#   cbox full-term fused step (2026-08-17): stacked 809 ms/step vs
+#   sequential 741 — the double-width body loses more to working-set
+#   pressure than halved op count gains (also at 32k chunks: 808.9).
+# - BVH scenes (> BVH_MIN_TRIS faces): stacked.  Every Li bounce there
+#   pays per-call sort/cull/fetch-list machinery and ray_n/ray_p share
+#   tiles; measured on BASELINE #3 (scripts/envmap_pestack_ab.py,
+#   interleaved, 2026-08-20): 419.0 -> 404.9 ms/step.
+# PSDR_PE_STACK=0/1 forces one behavior for both classes (A/B hatch).
+_ps = _os.environ.get("PSDR_PE_STACK", "auto")
+_PE_STACK = None if _ps == "auto" else (_ps != "0")
+
+
+def pe_stack_enabled(sd) -> bool:
+    """Whether the PE pass evaluates the ray pair double-width (see the
+    _PE_STACK routing note above)."""
+    if _PE_STACK is not None:
+        return _PE_STACK
+    from ..ops.intersect_pallas import BVH_MIN_TRIS
+
+    return sd.face_mesh_id.shape[0] > BVH_MIN_TRIS
 
 # Reverse-AD memory/recompute strategy for the interior bounce loop:
 #   "chunk"  — jax.checkpoint around each lane chunk (recompute the whole
@@ -494,7 +511,7 @@ class Integrator(Object):
             sampler = Sampler(seed + jnp.uint32(STREAM_PRIMARY), lane)
             es = sample_primary_edge(sensor, sampler.next_1d())
             valid = active & (es.idx >= 0)
-            if _PE_STACK:
+            if pe_stack_enabled(sd_det):
                 # ONE double-width Li over ray_n‖ray_p: halves the op count
                 # of the pass's scan body (the tail is op-count-bound, not
                 # flop-bound).  Both sides draw the same per-lane stream —
