@@ -59,6 +59,22 @@ def pe_stack_enabled(sd) -> bool:
 
     return sd.face_mesh_id.shape[0] > BVH_MIN_TRIS
 
+
+# SE pass analogue: run the two independent detached intersections of
+# eval_secondary_edge (p0 -> emitter visibility, p0 -> receiver) as ONE
+# double-width call.  Same routing rationale as the PE pair (per-call BVH
+# machinery amortizes; small scenes skip the wider body).
+_sp = _os.environ.get("PSDR_SE_PAIR", "auto")
+_SE_PAIR = None if _sp == "auto" else (_sp != "0")
+
+
+def se_pair_enabled(sd) -> bool:
+    if _SE_PAIR is not None:
+        return _SE_PAIR
+    from ..ops.intersect_pallas import BVH_MIN_TRIS
+
+    return sd.face_mesh_id.shape[0] > BVH_MIN_TRIS
+
 # Reverse-AD memory/recompute strategy for the interior bounce loop:
 #   "chunk"  — jax.checkpoint around each lane chunk (recompute the whole
 #              chunk, incl. intersections, in the backward sweep),

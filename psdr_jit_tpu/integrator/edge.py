@@ -46,18 +46,52 @@ def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
 
     sd_det = jax.lax.stop_gradient(sd)
 
-    # visibility p0 -> p2 must reach the emitter point (path.cpp:186-191)
-    _its2 = sd_det.ray_intersect(Ray(_p0, _dir), valid, mode="path", diff=False)
-    valid = (
-        valid
-        & sd_det.is_emitter(_its2, valid)
-        & _its2.valid
-        & (norm(_its2.p - _p2) < SHADOW_EPSILON)
-    )
+    from .base import se_pair_enabled
 
-    # opposite ray finds the receiver p1 (path.cpp:194-196)
-    _its1 = sd_det.ray_intersect(Ray(_p0, -_dir), valid, mode="path", diff=False)
-    valid = valid & _its1.valid
+    if se_pair_enabled(sd_det):
+        # BVH scenes: the emitter-visibility ray (p0, dir) and the
+        # receiver ray (p0, -dir) are geometrically independent, so run
+        # them as ONE double-width intersect and split — per-call BVH
+        # machinery (sorts, tile culling, fetch lists) amortizes exactly
+        # like the PE pair batching (same routing predicate).  The
+        # receiver half runs under the PRE-emitter-cull mask (wider than
+        # the sequential path's); every extra lane it computes is masked
+        # by the identical validity chain below, so results are unchanged.
+        n = valid.shape[0]
+        ray2 = Ray(
+            jnp.concatenate([_p0, _p0]),
+            jnp.concatenate([_dir, -_dir]),
+        )
+        its_2w = sd_det.ray_intersect(
+            ray2, jnp.concatenate([valid, valid]), mode="path", diff=False
+        )
+        _its2 = jax.tree_util.tree_map(lambda a: a[:n], its_2w)
+        _its1 = jax.tree_util.tree_map(lambda a: a[n:], its_2w)
+        valid = (
+            valid
+            & sd_det.is_emitter(_its2, valid)
+            & _its2.valid
+            & (norm(_its2.p - _p2) < SHADOW_EPSILON)
+        )
+        valid = valid & _its1.valid
+    else:
+        # visibility p0 -> p2 must reach the emitter point
+        # (path.cpp:186-191)
+        _its2 = sd_det.ray_intersect(
+            Ray(_p0, _dir), valid, mode="path", diff=False
+        )
+        valid = (
+            valid
+            & sd_det.is_emitter(_its2, valid)
+            & _its2.valid
+            & (norm(_its2.p - _p2) < SHADOW_EPSILON)
+        )
+
+        # opposite ray finds the receiver p1 (path.cpp:194-196)
+        _its1 = sd_det.ray_intersect(
+            Ray(_p0, -_dir), valid, mode="path", diff=False
+        )
+        valid = valid & _its1.valid
     _p1 = _its1.p
 
     # project p1 to the image plane (path.cpp:199)
