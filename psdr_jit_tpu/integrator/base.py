@@ -131,9 +131,18 @@ EDGE_CHUNK_LANES = int(
 EDGE_CHUNK_LANES_BVH = int(
     _os.environ.get("PSDR_EDGE_CHUNK_BVH", 1 << 19)
 )
+# Interior chunk size on the BVH path: same per-chunk-machinery argument
+# as the edge chunks, bounded the other side by the reverse-AD working
+# set.  BASELINE #3 sweep (scripts/envmap_chunk_ab.py AB_VARIANTS=
+# "512/96,512/192,512/256", interleaved, 2026-08-20): interior 96k =
+# 408.9 ms/step, 192k = 408.8, 256k = 393.1 (and 512k measured 422.4 on
+# 2026-08-20's edge sweep) — 256k wins; cbox-class scenes keep the 96k
+# optimum (beats 64k/80k/112k/128k/256k there, see CLAUDE.md).
+CHUNK_LANES_BVH = int(_os.environ.get("PSDR_CHUNK_BVH", 1 << 18))
 
 
-def _chunked_pixel_map(render_chunk, pix, spp: int, checkpoint: bool):
+def _chunked_pixel_map(render_chunk, pix, spp: int, checkpoint: bool,
+                       sd=None):
     """Map a per-pixel-chunk renderer over the pixel set, chunked in-jit.
 
     ``checkpoint``: wrap each chunk in ``jax.checkpoint`` so a reverse-AD
@@ -146,30 +155,42 @@ def _chunked_pixel_map(render_chunk, pix, spp: int, checkpoint: bool):
     stacks every chunk's residuals (= REMAT_MODE=none, which OOMs HBM).
     """
     n_pix = pix.shape[0]
-    max_pix = _chunk_max_pix(spp)
+    max_pix = _chunk_max_pix(spp, sd)
     if n_pix <= max_pix:
         return render_chunk(pix)
-    pix_chunks, _ = pad_pixel_chunks(pix, spp)
+    pix_chunks, _ = pad_pixel_chunks(pix, spp, sd)
     body = _remat(render_chunk) if checkpoint else render_chunk
     out = jax.lax.map(body, pix_chunks)
     return out.reshape(pix_chunks.size, -1)[:n_pix]
 
 
-def _chunk_max_pix(spp: int) -> int:
-    return max(CHUNK_LANES // max(spp, 1), 1)
+def interior_chunk_lanes(sd) -> int:
+    """Interior-pass chunk size routed on the scene's intersect path
+    (same predicate as :func:`edge_chunk_lanes`; measurements at
+    CHUNK_LANES_BVH above)."""
+    from ..ops.intersect_pallas import BVH_MIN_TRIS
+
+    if sd is not None and sd.face_mesh_id.shape[0] > BVH_MIN_TRIS:
+        return CHUNK_LANES_BVH
+    return CHUNK_LANES
 
 
-def pad_pixel_chunks(pix, spp: int):
-    """Zero-pad ``pix`` to a whole number of CHUNK_LANES-sized chunks.
+def _chunk_max_pix(spp: int, sd=None) -> int:
+    return max(interior_chunk_lanes(sd) // max(spp, 1), 1)
+
+
+def pad_pixel_chunks(pix, spp: int, sd=None):
+    """Zero-pad ``pix`` to a whole number of interior-chunk-sized chunks.
 
     ONE definition of the chunk geometry, shared by the remat render path
     above and the fused forward+adjoint scan (integrator/fused.py) — the
-    two must never diverge in how they partition the pixel set.  Returns
+    two must never diverge in how they partition the pixel set (both route
+    through :func:`interior_chunk_lanes` on the same ``sd``).  Returns
     ``(pix_chunks (k, max_pix), row_valid (k, max_pix))``; pad rows render
     pixel 0 and must be masked out by the caller's reduction.
     """
     n_pix = pix.shape[0]
-    max_pix = _chunk_max_pix(spp)
+    max_pix = _chunk_max_pix(spp, sd)
     k = -(-n_pix // max_pix)
     n_pad = k * max_pix
     pix_chunks = jnp.concatenate(
@@ -466,6 +487,7 @@ class Integrator(Object):
                 lambda pix_chunk: prb_chunk(sd, jnp.asarray(seed, jnp.uint32),
                                             pix_chunk),
                 pix, spp, checkpoint=False,  # custom_vjp replays itself
+                sd=sd,
             )
 
         def render_chunk(pix_chunk):
@@ -479,7 +501,7 @@ class Integrator(Object):
         bounce_remat = (REMAT_MODE == "bounce"
                         and getattr(self, "supports_bounce_remat", False))
         checkpoint = diff and REMAT_MODE != "none" and not bounce_remat
-        return _chunked_pixel_map(render_chunk, pix, spp, checkpoint)
+        return _chunked_pixel_map(render_chunk, pix, spp, checkpoint, sd=sd)
 
     def render_impl_sharded(self, sd: SceneData, opts: RenderOption,
                             sensor_id: int, seed, pix_shard, axis: str):

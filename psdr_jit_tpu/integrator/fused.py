@@ -79,7 +79,7 @@ def _interior_scan(integrator, sd, opts, sensor_id: int, seed, pixel_loss,
 
     # same chunk geometry as the remat render path (pad rows render pixel
     # 0 and are masked out of the loss below)
-    pix_chunks, row_valid = _base.pad_pixel_chunks(pix, spp)
+    pix_chunks, row_valid = _base.pad_pixel_chunks(pix, spp, sd)
     n_pad = pix_chunks.size
 
     def body(carry, xs):

@@ -59,6 +59,10 @@ VARIANTS = [
     (512 * 1024, 96 * 1024),    # PE/SE in ONE chunk each
     (512 * 1024, 512 * 1024),   # everything single-chunk
 ]
+if os.environ.get("AB_VARIANTS"):
+    # e.g. AB_VARIANTS="512/96,512/192,512/256" (KiB per side)
+    VARIANTS = [tuple(int(x) * 1024 for x in v.split("/"))
+                for v in os.environ["AB_VARIANTS"].split(",")]
 
 fns, loss0 = {}, {}
 for ec, ic in VARIANTS:
@@ -66,6 +70,7 @@ for ec, ic in VARIANTS:
     # pin both knobs so the sweep still controls the traced size
     ibase.EDGE_CHUNK_LANES, ibase.CHUNK_LANES = ec, ic
     ibase.EDGE_CHUNK_LANES_BVH = ec
+    ibase.CHUNK_LANES_BVH = ic  # interior routing (2026-08-20) pins too
 
     def step(p, s, tgt, _integ=integ):
         def ploss(rows, pix):
