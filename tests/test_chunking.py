@@ -44,3 +44,28 @@ def test_chunked_gradient_matches_unchunked():
     np.testing.assert_allclose(img_c, img_f, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(d_c, d_f, rtol=1e-4, atol=1e-6)
     assert np.abs(d_f).max() > 0
+
+
+def test_bvh_scene_routes_interior_chunks_and_stays_exact():
+    """BVH-class scenes route interior chunks to CHUNK_LANES_BVH
+    (integrator/base.interior_chunk_lanes, 2026-08-20) — the routed
+    partition must reproduce the 96k-pinned render bitwise (the global
+    per-lane RNG makes ANY lane partition exact, CLAUDE.md contract)."""
+    from scenes import make_bunny_envmap
+
+    sc = make_bunny_envmap(width=8, height=8, spp=4)
+    sc.configure()
+    assert base.interior_chunk_lanes(sc.data) == base.CHUNK_LANES_BVH
+    integ = psdr.PathTracer(1)
+    routed = np.asarray(integ.renderC(sc, 0, seed=3))
+
+    old = base.CHUNK_LANES_BVH
+    base.CHUNK_LANES_BVH = 64   # force many tiny interior chunks
+    try:
+        sc2 = make_bunny_envmap(width=8, height=8, spp=4)
+        sc2.configure()
+        integ2 = psdr.PathTracer(1)
+        pinned = np.asarray(integ2.renderC(sc2, 0, seed=3))
+    finally:
+        base.CHUNK_LANES_BVH = old
+    np.testing.assert_allclose(pinned, routed, rtol=1e-6, atol=1e-7)
