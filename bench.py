@@ -134,7 +134,6 @@ def _parity_gate():
 
     sc = make_cbox(width=64, height=64, spp=4, sppe=4, sppse=4)
     sc.configure()
-    integ = psdr.PathTracer(max_depth=2)
     mesh, em = sc.meshes[-1], sc.emitters[0]
     bv, br = mesh.vertex_positions_raw, em.radiance
     target = jnp.zeros((64 * 64, 3), jnp.float32)
@@ -144,26 +143,39 @@ def _parity_gate():
         mesh.vertex_positions_raw = bv + dv
         em.radiance = br + dr
 
-    def step(p, s, tgt):
-        def ploss(rows, pix):
-            return jnp.sum(jnp.square(rows - tgt[pix]), axis=-1)
-        return integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
-
     p0 = (jnp.zeros_like(bv), jnp.zeros_like(br))
     res = {}
     imgs, steps = {}, {}
-    for mode in ("off", "auto"):
-        megakernel.MEGA_MODE = mode
-        shade_mega.INTERIOR_MODE = mode
-        imgs[mode] = np.asarray(
-            jax.jit(lambda s: integ.renderC(sc, 0, seed=s))(jnp.uint32(7)))
-        out = jax.jit(step)(p0, jnp.uint32(3), target)
-        steps[mode] = (float(out[0]),
-                       [np.asarray(g) for g in jax.tree_util.tree_leaves(out[1])])
-    megakernel.MEGA_MODE = "auto"
-    shade_mega.INTERIOR_MODE = "auto"
-    mesh.vertex_positions_raw = bv
-    em.radiance = br
+    prior = (megakernel.MEGA_MODE, shade_mega.INTERIOR_MODE)
+    try:
+        for mode in ("off", "auto"):
+            megakernel.MEGA_MODE = mode
+            shade_mega.INTERIOR_MODE = mode
+            # a FRESH integrator per mode: renderC routes through the
+            # instance's _get_jit cache, whose traced jaxpr baked the
+            # module flags at first trace — reusing one integrator would
+            # replay the mode-"off" trace and make the image check vacuous
+            # (same staleness as the inner-jit fix in tests/test_bvh.py)
+            integ_m = psdr.PathTracer(max_depth=2)
+
+            def step_m(p, s, tgt, _i=integ_m):
+                def ploss(rows, pix):
+                    return jnp.sum(jnp.square(rows - tgt[pix]), axis=-1)
+                return _i.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
+
+            imgs[mode] = np.asarray(
+                jax.jit(lambda s, _i=integ_m: _i.renderC(sc, 0, seed=s))(
+                    jnp.uint32(7)))
+            out = jax.jit(step_m)(p0, jnp.uint32(3), target)
+            steps[mode] = (float(out[0]),
+                           [np.asarray(g)
+                            for g in jax.tree_util.tree_leaves(out[1])])
+    finally:
+        # restore the PRIOR modes (a user's PSDR_MEGA[_INTERIOR] opt-out
+        # must govern the timed sections, not a hardcoded "auto")
+        megakernel.MEGA_MODE, shade_mega.INTERIOR_MODE = prior
+        mesh.vertex_positions_raw = bv
+        em.radiance = br
 
     rel_img = float(np.abs(imgs["auto"] - imgs["off"]).sum()
                     / (np.abs(imgs["off"]).sum() + 1e-12))
@@ -375,18 +387,29 @@ def main():
     out = {}
 
     # ---- numerical parity gate (TPU only; CI covers the interpreter) ----
+    # Runs under the same transient-fault retry as the headline: a remote
+    # runtime FAILED_PRECONDITION during the gate's compiles must retry,
+    # not crash bench before any JSON line.  AssertionError = genuine
+    # numerical divergence -> fail loudly with a parseable zero record.
     if jax.default_backend() == "tpu":
-        try:
-            rel = _parity_gate()
-            out["parity"] = "ok"
-            sys.stderr.write(f"parity gate ok: {rel}\n")
-        except AssertionError as e:
-            out["parity"] = f"FAILED: {e}"
-            out["metric"] = "cbox512_spp32_sppe32_sppse32_depth3_fwdbwd"
-            out["value"] = 0.0
-            out["unit"] = "Mrays/s"
-            _emit(out)
-            sys.exit(1)
+        for attempt in range(3):
+            try:
+                rel = _parity_gate()
+                out["parity"] = "ok"
+                sys.stderr.write(f"parity gate ok: {rel}\n")
+                break
+            except AssertionError as e:
+                out["parity"] = f"FAILED: {e}"
+                out["metric"] = "cbox512_spp32_sppe32_sppse32_depth3_fwdbwd"
+                out["value"] = 0.0
+                out["unit"] = "Mrays/s"
+                _emit(out)
+                sys.exit(1)
+            except Exception as e:  # noqa: BLE001 transient runtime fault
+                if attempt == 2:
+                    raise
+                sys.stderr.write(f"parity attempt {attempt} failed: {e}\n")
+                time.sleep(20)
 
     # ---- headline: measured and PRINTED before anything else compiles ----
     # The remote TPU runtime occasionally drops into FAILED_PRECONDITION

@@ -104,5 +104,12 @@ if __name__ == "__main__":
         try:
             main(0, port)
         finally:
-            peer.wait(timeout=120)
+            # never mask the coordinator's traceback, never orphan the
+            # peer: if it doesn't exit on its own (e.g. we failed before
+            # initialize and it is still blocked there), kill it
+            try:
+                peer.wait(timeout=120)
+            except subprocess.TimeoutExpired:
+                peer.kill()
+                peer.wait()
         sys.exit(peer.returncode)

@@ -40,9 +40,14 @@ import os as _os
 # package) XLA's CPU AOT loader warns about pseudo machine features
 # (+prefer-no-scatter) on every cached-executable load, and CPU compiles
 # are local and fast anyway — the cache only pays on accelerator backends.
+# An accelerator must be POSITIVELY indicated (non-empty, non-cpu): with
+# nothing configured (a plain CPU-only install) we stay off rather than
+# guess; accelerator users without JAX_PLATFORMS can opt in by setting
+# JAX_COMPILATION_CACHE_DIR themselves (which this block never overrides).
 _plat = str(_jax.config.jax_platforms
             or _os.environ.get("JAX_PLATFORMS", "") or "")
-if not _os.environ.get("PSDR_NO_COMPILE_CACHE") and _plat != "cpu":
+if (not _os.environ.get("PSDR_NO_COMPILE_CACHE")
+        and _plat and _plat != "cpu"):
     if (_jax.config.jax_compilation_cache_dir is None
             and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")):
         _jax.config.update(

@@ -50,14 +50,25 @@ _ps = _os.environ.get("PSDR_PE_STACK", "auto")
 _PE_STACK = None if _ps == "auto" else (_ps != "0")
 
 
+def is_bvh_scene(sd) -> bool:
+    """Single definition of the knob-routing predicate: does this scene
+    intersect through the sorted-ray block-culled BVH (ops/bvh.py)?
+
+    Mirrors the actual dispatch in ops/intersect_pallas.py (padded tri
+    count > BVH_MIN_TRIS; face_mesh_id shares that padded length) so the
+    four routed knobs (PE stack, SE pair, edge + interior chunk sizes)
+    can never desynchronize from the real intersect path."""
+    from ..ops.intersect_pallas import BVH_MIN_TRIS
+
+    return sd is not None and sd.face_mesh_id.shape[0] > BVH_MIN_TRIS
+
+
 def pe_stack_enabled(sd) -> bool:
     """Whether the PE pass evaluates the ray pair double-width (see the
     _PE_STACK routing note above)."""
     if _PE_STACK is not None:
         return _PE_STACK
-    from ..ops.intersect_pallas import BVH_MIN_TRIS
-
-    return sd.face_mesh_id.shape[0] > BVH_MIN_TRIS
+    return is_bvh_scene(sd)
 
 
 # SE pass analogue: run the two independent detached intersections of
@@ -71,9 +82,7 @@ _SE_PAIR = None if _sp == "auto" else (_sp != "0")
 def se_pair_enabled(sd) -> bool:
     if _SE_PAIR is not None:
         return _SE_PAIR
-    from ..ops.intersect_pallas import BVH_MIN_TRIS
-
-    return sd.face_mesh_id.shape[0] > BVH_MIN_TRIS
+    return is_bvh_scene(sd)
 
 # Reverse-AD memory/recompute strategy for the interior bounce loop:
 #   "chunk"  — jax.checkpoint around each lane chunk (recompute the whole
@@ -168,9 +177,7 @@ def interior_chunk_lanes(sd) -> int:
     """Interior-pass chunk size routed on the scene's intersect path
     (same predicate as :func:`edge_chunk_lanes`; measurements at
     CHUNK_LANES_BVH above)."""
-    from ..ops.intersect_pallas import BVH_MIN_TRIS
-
-    if sd is not None and sd.face_mesh_id.shape[0] > BVH_MIN_TRIS:
+    if is_bvh_scene(sd):
         return CHUNK_LANES_BVH
     return CHUNK_LANES
 
@@ -210,9 +217,7 @@ def edge_chunk_lanes(sd) -> int:
     fetch lists) amortizes with chunk size — measured 568 → 418 ms/step on
     BASELINE #3 at 512k-lane edge chunks.  Small scenes keep the 32k
     optimum (see EDGE_CHUNK_LANES[_BVH] above)."""
-    from ..ops.intersect_pallas import BVH_MIN_TRIS
-
-    if sd.face_mesh_id.shape[0] > BVH_MIN_TRIS:
+    if is_bvh_scene(sd):
         return EDGE_CHUNK_LANES_BVH
     return EDGE_CHUNK_LANES
 

@@ -89,8 +89,15 @@ def _trunc_parts(m):
     masked truncation removes the top 8 remaining bits and the residual
     subtraction is exact (the operands share sign and exponent), so
     ``lo`` holds the final <= 8 bits exactly.  Converting each part to
-    bf16 is exact (their low significand bits are zero by construction),
-    and bf16 shares f32's exponent range so no part can over/underflow."""
+    bf16 is exact (their low significand bits are zero by construction)
+    and cannot OVERflow (bf16 shares f32's exponent range, so there is
+    no bf16-max NaN cliff).  UNDERflow carve-out (measured 2026-08-20):
+    bf16's smallest subnormal is 2^-133, so the split is bitwise exact
+    iff the value's lowest set significand bit is >= 2^-133 — always
+    true for |m| >= 2^-109 (~1.5e-33); below that the mid/lo parts can
+    round (f32 denormals < 2^-133 reconstruct as 0).  Physical table
+    values (radiance, positions, pdfs) sit tens of orders of magnitude
+    above the carve-out."""
     hi = _trunc_bf16(m)
     r1 = m - hi
     mid = _trunc_bf16(r1)

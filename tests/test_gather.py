@@ -95,7 +95,23 @@ def test_beyond_bf16_max_stays_exact():
     bf16 ROUNDING max (~3.39e38) still reconstructs exactly — the hi
     part's truncation saturates at bf16's max finite and the residual
     parts carry the remainder.  (The pre-2026-08-20 formulation NaN'd
-    here; the masked split is strictly stronger: exact over all of f32.)"""
+    here; the masked split is exact everywhere above the tiny-value
+    carve-out below.)"""
     m = jnp.full((4, 2), 3.4e38, jnp.float32)
     out = gather_rows(m, jnp.asarray([1], jnp.int32))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(m)[1:2])
+
+
+def test_tiny_value_exactness_boundary():
+    """Documented underflow carve-out of the bf16x3 split (_trunc_parts):
+    exact iff the value's lowest set significand bit is >= 2^-133 —
+    always for |t| >= 2^-109; f32 denormals below bf16's smallest
+    subnormal reconstruct as 0.  Physical tables never get near this."""
+    exact = jnp.asarray([[2.0 ** -109], [2.0 ** -126], [-2.0 ** -100]],
+                        jnp.float32)
+    out = gather_rows(exact, jnp.asarray([0, 1, 2], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(exact))
+    # below the carve-out: a denormal under 2^-133 is NOT recoverable
+    tiny = jnp.full((2, 1), 2.0 ** -140, jnp.float32)
+    out = np.asarray(gather_rows(tiny, jnp.asarray([0], jnp.int32)))
+    assert out[0, 0] == 0.0
