@@ -148,10 +148,16 @@ EDGE_CHUNK_LANES_BVH = int(
 # 2026-08-20's edge sweep) — 256k wins; cbox-class scenes keep the 96k
 # optimum (beats 64k/80k/112k/128k/256k there, see CLAUDE.md).
 CHUNK_LANES_BVH = int(_os.environ.get("PSDR_CHUNK_BVH", 1 << 18))
+# Forward-only (never-differentiated) interior renders have no reverse-AD
+# working set, so BVH scenes amortize the per-chunk per-bounce machinery
+# further still: 512-sq gallery renderC (2M lanes, scripts/
+# gallery_chunk_ab.py interleaved, 2026-08-20): 256k = 2596 ms/frame,
+# 512k = 2288, 1M = 2108, 2M (single chunk) = 2108 — 1M is the knee.
+FWD_CHUNK_LANES_BVH = int(_os.environ.get("PSDR_FWD_CHUNK_BVH", 1 << 20))
 
 
 def _chunked_pixel_map(render_chunk, pix, spp: int, checkpoint: bool,
-                       sd=None):
+                       sd=None, diff: bool = True):
     """Map a per-pixel-chunk renderer over the pixel set, chunked in-jit.
 
     ``checkpoint``: wrap each chunk in ``jax.checkpoint`` so a reverse-AD
@@ -164,29 +170,31 @@ def _chunked_pixel_map(render_chunk, pix, spp: int, checkpoint: bool,
     stacks every chunk's residuals (= REMAT_MODE=none, which OOMs HBM).
     """
     n_pix = pix.shape[0]
-    max_pix = _chunk_max_pix(spp, sd)
+    max_pix = _chunk_max_pix(spp, sd, diff)
     if n_pix <= max_pix:
         return render_chunk(pix)
-    pix_chunks, _ = pad_pixel_chunks(pix, spp, sd)
+    pix_chunks, _ = pad_pixel_chunks(pix, spp, sd, diff)
     body = _remat(render_chunk) if checkpoint else render_chunk
     out = jax.lax.map(body, pix_chunks)
     return out.reshape(pix_chunks.size, -1)[:n_pix]
 
 
-def interior_chunk_lanes(sd) -> int:
+def interior_chunk_lanes(sd, diff: bool = True) -> int:
     """Interior-pass chunk size routed on the scene's intersect path
-    (same predicate as :func:`edge_chunk_lanes`; measurements at
-    CHUNK_LANES_BVH above)."""
+    (same predicate as :func:`edge_chunk_lanes`) and on whether the
+    render is differentiated (measurements at CHUNK_LANES_BVH /
+    FWD_CHUNK_LANES_BVH above).  Chunking is partition-exact (global-lane
+    RNG), so the two regimes produce bitwise-identical images."""
     if is_bvh_scene(sd):
-        return CHUNK_LANES_BVH
+        return CHUNK_LANES_BVH if diff else FWD_CHUNK_LANES_BVH
     return CHUNK_LANES
 
 
-def _chunk_max_pix(spp: int, sd=None) -> int:
-    return max(interior_chunk_lanes(sd) // max(spp, 1), 1)
+def _chunk_max_pix(spp: int, sd=None, diff: bool = True) -> int:
+    return max(interior_chunk_lanes(sd, diff) // max(spp, 1), 1)
 
 
-def pad_pixel_chunks(pix, spp: int, sd=None):
+def pad_pixel_chunks(pix, spp: int, sd=None, diff: bool = True):
     """Zero-pad ``pix`` to a whole number of interior-chunk-sized chunks.
 
     ONE definition of the chunk geometry, shared by the remat render path
@@ -197,7 +205,7 @@ def pad_pixel_chunks(pix, spp: int, sd=None):
     pixel 0 and must be masked out by the caller's reduction.
     """
     n_pix = pix.shape[0]
-    max_pix = _chunk_max_pix(spp, sd)
+    max_pix = _chunk_max_pix(spp, sd, diff)
     k = -(-n_pix // max_pix)
     n_pad = k * max_pix
     pix_chunks = jnp.concatenate(
@@ -506,7 +514,8 @@ class Integrator(Object):
         bounce_remat = (REMAT_MODE == "bounce"
                         and getattr(self, "supports_bounce_remat", False))
         checkpoint = diff and REMAT_MODE != "none" and not bounce_remat
-        return _chunked_pixel_map(render_chunk, pix, spp, checkpoint, sd=sd)
+        return _chunked_pixel_map(render_chunk, pix, spp, checkpoint,
+                                  sd=sd, diff=diff)
 
     def render_impl_sharded(self, sd: SceneData, opts: RenderOption,
                             sensor_id: int, seed, pix_shard, axis: str):
