@@ -403,7 +403,8 @@ class Integrator(Object):
         fn = self._get_jit("C", _opts_key(scene.opts), sensor_id,
                            pix_id is not None)
         with log_time("Rendered", scene.opts.log_level > 0):
-            out = fn(sd, jnp.uint32(seed), pix_id)
+            out = fn(sd, self._warp_arg("C", sensor_id), jnp.uint32(seed),
+                     pix_id)
             if scene.opts.log_level > 0:
                 jax.block_until_ready(out)
         return out
@@ -423,7 +424,8 @@ class Integrator(Object):
         fn = self._get_jit("D", _opts_key(scene.opts), sensor_id,
                            pix_id is not None)
         with log_time("Rendered", scene.opts.log_level > 0):
-            out = fn(sd, jnp.uint32(seed), pix_id)
+            out = fn(sd, self._warp_arg("D", sensor_id), jnp.uint32(seed),
+                     pix_id)
             if scene.opts.log_level > 0:
                 jax.block_until_ready(out)
         return out
@@ -448,11 +450,35 @@ class Integrator(Object):
                 sppe=opts_key[3], sppse=opts_key[4],
             )
 
-            def run(sd, seed, pix_id):
-                return self.render_impl(sd, opts, sensor_id, seed, pix_id, kind)
+            def run(sd, warp, seed, pix_id):
+                # The secondary-edge guiding table flows in as a traced
+                # ARGUMENT, temporarily installed over self.warpper for
+                # the duration of this trace: a per-iteration
+                # preprocess_secondary_edges updates table VALUES without
+                # retracing, and a table appearing/changing shape retraces
+                # automatically (jit keys on the pytree structure).
+                # Reading self.warpper at trace time instead silently
+                # froze the first-render table forever (found 2026-08-20).
+                if warp is None or not hasattr(self, "warpper"):
+                    return self.render_impl(sd, opts, sensor_id, seed,
+                                            pix_id, kind)
+                prev = self.warpper
+                self.warpper = {**prev, sensor_id: warp}
+                try:
+                    return self.render_impl(sd, opts, sensor_id, seed,
+                                            pix_id, kind)
+                finally:
+                    self.warpper = prev
 
             self._jit_cache[cache_key] = jax.jit(run)
         return self._jit_cache[cache_key]
+
+    def _warp_arg(self, kind: str, sensor_id: int):
+        """Current guiding table to pass into the jitted render (None for
+        primal renders: the SE pass only runs when differentiating)."""
+        if kind != "D":
+            return None
+        return getattr(self, "warpper", {}).get(sensor_id)
 
     def render_impl(self, sd: SceneData, opts: RenderOption, sensor_id: int,
                     seed, pix_id, kind: str):

@@ -57,7 +57,7 @@ def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
         # receiver half runs under the PRE-emitter-cull mask (wider than
         # the sequential path's); every extra lane it computes is masked
         # by the identical validity chain below, so results are unchanged.
-        n = valid.shape[0]
+        n_lanes = valid.shape[0]
         ray2 = Ray(
             jnp.concatenate([_p0, _p0]),
             jnp.concatenate([_dir, -_dir]),
@@ -65,8 +65,8 @@ def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
         its_2w = sd_det.ray_intersect(
             ray2, jnp.concatenate([valid, valid]), mode="path", diff=False
         )
-        _its2 = jax.tree_util.tree_map(lambda a: a[:n], its_2w)
-        _its1 = jax.tree_util.tree_map(lambda a: a[n:], its_2w)
+        _its2 = jax.tree_util.tree_map(lambda a: a[:n_lanes], its_2w)
+        _its1 = jax.tree_util.tree_map(lambda a: a[n_lanes:], its_2w)
         valid = (
             valid
             & sd_det.is_emitter(_its2, valid)
@@ -147,8 +147,12 @@ def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
         return jnp.full(valid.shape, -1, jnp.int32), value0
 
     # orientation sign + differentiable normal velocity (path.cpp:253-265)
+    # drjit's sign is copysign-based (+-1 at an exactly-zero dot product);
+    # jnp.sign would return 0 there and silently drop the lane
     n = normalize(cross(bss.n, proj))
-    sgn = jnp.sign(dot(e, bss.edge2)) * jnp.sign(dot(e, n))
+    _sgn1 = jnp.where(dot(e, bss.edge2) >= 0.0, 1.0, -1.0)
+    _sgn2 = jnp.where(dot(e, n) >= 0.0, 1.0, -1.0)
+    sgn = _sgn1 * _sgn2
     value0 = value0 * sgn[..., None]
 
     # Only dot(n, u2) below carries derivatives; value0 and the validity
@@ -220,11 +224,11 @@ class SecondaryEdgeMixin:
         num_cells = grid[0] * grid[1] * grid[2]
         num_samples = num_cells * spp_cell
 
-        warp = HyperCubeDistribution.init(
-            grid, jnp.ones(num_cells, jnp.float32)
-        )
+        # cell_coords depends only on the static res tuple — no need to
+        # build (and eagerly cumsum) a uniform placeholder distribution
         cell_idx = jnp.arange(num_samples, dtype=jnp.int32) // spp_cell
-        base = warp.cell_coords(cell_idx).astype(jnp.float32)
+        base = HyperCubeDistribution(res=grid, distrb=None).cell_coords(
+            cell_idx).astype(jnp.float32)
         unit = 1.0 / jnp.asarray(grid, jnp.float32)
 
         # one module-level jitted function: scene data / grid arrays flow

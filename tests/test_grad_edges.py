@@ -329,3 +329,44 @@ def test_secondary_edge_guiding_reduces_variance():
     assert guided.std() < unguided.std(), (
         f"guided std {guided.std():.4g} >= unguided {unguided.std():.4g}"
     )
+
+
+def test_secondary_edge_guiding_refresh_takes_effect():
+    """A preprocess_secondary_edges call AFTER a first differentiable
+    render must change subsequent renders (regression: the guiding table
+    was read at trace time and the cached jit replayed the unguided
+    first-render trace forever, silently ignoring all re-guiding —
+    found+fixed 2026-08-20, base.py _get_jit warp argument)."""
+    rho, L, hl = 0.8, 200.0, 0.05
+    sc, occluder = _shadow_scene(w=16, sppse=16, light_half=hl, rho=rho, L=L)
+    sc.configure()
+    integ = psdr.PathTracer(1)
+    base = occluder.to_world_raw
+
+    def grad(seed=5):
+        def mean_img(tx):
+            occluder.to_world_raw = base.at[0, 3].add(tx)
+            return jnp.mean(integ.renderD(sc, 0, seed=seed))
+        _, d = jax.jvp(mean_img, (jnp.float32(0.0),), (jnp.float32(1.0),))
+        occluder.to_world_raw = base
+        return float(d)
+
+    unguided = grad()
+    integ.preprocess_secondary_edges(sc, 0, [8, 8, 8, 16], 1)
+    refreshed = grad()
+
+    # oracle: a FRESH integrator preprocessed before its first render
+    sc2, occ2 = _shadow_scene(w=16, sppse=16, light_half=hl, rho=rho, L=L)
+    sc2.configure()
+    integ2 = psdr.PathTracer(1)
+    integ2.preprocess_secondary_edges(sc2, 0, [8, 8, 8, 16], 1)
+    base2 = occ2.to_world_raw
+
+    def mean_img2(tx):
+        occ2.to_world_raw = base2.at[0, 3].add(tx)
+        return jnp.mean(integ2.renderD(sc2, 0, seed=5))
+    _, fresh = jax.jvp(mean_img2, (jnp.float32(0.0),), (jnp.float32(1.0),))
+    fresh = float(fresh)
+
+    assert refreshed != unguided, "post-render preprocess was ignored"
+    np.testing.assert_allclose(refreshed, fresh, rtol=1e-6)
