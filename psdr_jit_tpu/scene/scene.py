@@ -400,8 +400,10 @@ class Scene(Object):
         return len(self.sensors) - 1
 
     def add_BSDF(self, bsdf, bsdf_id: str = "", twoSide: bool = False):
-        if twoSide:
-            bsdf.twoSide = True
+        # unconditional, like the reference (scene.cpp add_BSDF
+        # m_twoSide = twoSide): passing twoSide=False must also RESET a
+        # BSDF object whose flag was already set
+        bsdf.twoSide = bool(twoSide)
         bsdf.id = bsdf_id
         self.bsdfs.append(bsdf)
         self.bsdf_ids.append(bsdf_id)
@@ -521,6 +523,17 @@ class Scene(Object):
         """
         assert self.meshes, "Missing meshes!"
         assert self.sensors, "Missing sensor!"
+        # gather_tri_diff packs integer columns (face_indices, mesh ids)
+        # as f32 — exact only below 2^24.  Checked HERE (the function
+        # that consumes the packing) so renderD/loss_and_grad paths that
+        # never call eager configure() are covered too.
+        n_verts = sum(int(m.vertex_positions_raw.shape[0])
+                      for m in self.meshes)
+        assert n_verts < (1 << 24), (
+            f"{n_verts} vertices: the packed f32 triangle table is "
+            "exact only below 2^24 vertex indices (scene.py "
+            "gather_tri_diff)"
+        )
         opts = self.opts
         with_sec_edges = opts.sppse > 0
         with_prim_edges = opts.sppe > 0
@@ -760,16 +773,8 @@ class Scene(Object):
         from ..utils.profiling import log_time
 
         with log_time("Configured", self.opts.log_level > 0):
-            # gather_tri_diff packs integer columns (face_indices, mesh ids)
-            # as f32 — exact only below 2^24 (the packed-gather design
-            # trades this headroom for one matmul-gather per hit).
-            n_verts = sum(int(m.vertex_positions_raw.shape[0])
-                          for m in self.meshes)
-            assert n_verts < (1 << 24), (
-                f"{n_verts} vertices: the packed f32 triangle table is "
-                "exact only below 2^24 vertex indices (scene.py "
-                "gather_tri_diff)"
-            )
+            # (the 2^24 packed-index safety assert lives in
+            # configure_data, which every render path goes through)
             self._active_sensors = active_sensors
             self._tri_perm = self._compute_tri_perm()
             # (re)build the envmap importance table eagerly, OUTSIDE any
@@ -868,7 +873,7 @@ class Scene(Object):
             morton_order(self._world_tri_centroids()), np.int32
         )
 
-    def _cluster_quality(self, perm, cluster: int = None) -> float:
+    def _cluster_quality(self, perm, cents=None, cluster: int = None) -> float:
         """Sum of cluster-AABB surface areas under the CURRENT concrete
         transforms for a given triangle permutation — the quantity the
         intersector's two-level culling actually depends on (smaller =
@@ -877,7 +882,9 @@ class Scene(Object):
         culling tests."""
         if cluster is None:
             from ..ops.intersect_pallas import CLUSTER_SMALL as cluster
-        c = self._world_tri_centroids()[np.asarray(perm)]
+        if cents is None:
+            cents = self._world_tri_centroids()
+        c = cents[np.asarray(perm)]
         n_pad = -(-c.shape[0] // cluster) * cluster
         if n_pad != c.shape[0]:
             c = np.concatenate([c, np.tile(c[-1:], (n_pad - c.shape[0], 1))])
@@ -893,13 +900,29 @@ class Scene(Object):
         the current transforms: quality(cached perm) / quality(fresh perm).
         1.0 = still optimal; large values mean the intersector's cluster
         culling is losing effectiveness as geometry moves."""
-        if getattr(self, "_tri_perm", None) is None:
-            return 1.0
+        ratio, _ = self._staleness_and_fresh_perm()
+        return ratio
+
+    def _staleness_and_fresh_perm(self):
+        """(staleness ratio, fresh perm) in ONE pass: the centroids and
+        Morton ordering are host-side O(faces log faces) — computing them
+        once serves both the staleness probe and a subsequent refresh.
+        Also guards mesh-set changes since configure(): a stale perm whose
+        indices no longer address the current face count (meshes removed/
+        replaced) scores as infinitely stale instead of crashing."""
+        perm = getattr(self, "_tri_perm", None)
+        if perm is None:
+            return 1.0, None
         fresh = self._compute_tri_perm()
-        q_fresh = self._cluster_quality(fresh)
+        if fresh is None:  # mesh set shrank below the clustering threshold
+            return float("inf"), None
+        cents = self._world_tri_centroids()
+        if np.asarray(perm).max(initial=-1) >= cents.shape[0]:
+            return float("inf"), fresh  # stale perm outlived its meshes
+        q_fresh = self._cluster_quality(fresh, cents)
         if q_fresh <= 0.0:
-            return 1.0
-        return self._cluster_quality(self._tri_perm) / q_fresh
+            return 1.0, fresh
+        return self._cluster_quality(perm, cents) / q_fresh, fresh
 
     def refresh_tri_perm(self, threshold: float = 1.25) -> bool:
         """Recompute the Morton triangle ordering if it has degraded past
@@ -918,9 +941,18 @@ class Scene(Object):
         return."""
         if getattr(self, "_tri_perm", None) is None:
             return False
-        if self.tri_perm_staleness() <= threshold:
+        ratio, fresh = self._staleness_and_fresh_perm()
+        if ratio == float("inf") and fresh is None:
+            # mesh set shrank below the clustering threshold since
+            # configure(): drop the stale perm entirely (its indices no
+            # longer address the current face table)
+            self._tri_perm = None
+            self._data = None
+            self._perm_version = getattr(self, "_perm_version", 0) + 1
+            return True
+        if ratio <= threshold or fresh is None:
             return False
-        self._tri_perm = self._compute_tri_perm()
+        self._tri_perm = fresh
         self._data = None  # cached traced data baked the old ordering
         self._perm_version = getattr(self, "_perm_version", 0) + 1
         return True
