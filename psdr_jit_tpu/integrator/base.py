@@ -217,6 +217,16 @@ def pad_pixel_chunks(pix, spp: int, sd=None, diff: bool = True):
     return pix_chunks, row_valid
 
 
+def shard_lane_window(total: int, n_dev, idx):
+    """ONE definition of the per-device edge-lane partition (ceil-divide
+    windows): ``(lane_offset, lane_count)`` for device ``idx`` of
+    ``n_dev``.  Shared by render_impl_sharded and the fused sharded
+    pullback (integrator/fused.py) — the sharded forward render and the
+    sharded fused step must window the global lane space identically."""
+    per = -(-total // n_dev)
+    return idx * per, per
+
+
 def edge_chunk_lanes(sd) -> int:
     """Edge-pass chunk size routed on the scene's intersect path.
 
@@ -558,17 +568,17 @@ class Integrator(Object):
         edge_img = jnp.zeros((opts.num_pixels, 3), jnp.float32)
         if opts.sppe > 0 and sd.sensors[sensor_id].edge_info is not None:
             total = opts.num_pixels * opts.sppe
-            per = -(-total // n_dev)
+            off, per = shard_lane_window(total, n_dev, idx)
             edge_img = edge_img + self._render_primary_edges(
                 sd, opts, sensor_id, seed,
-                lane_offset=idx * per, lane_count=per, lane_total=total,
+                lane_offset=off, lane_count=per, lane_total=total,
             )
         if opts.sppse > 0 and sd.sec_edge is not None:
             total = opts.num_pixels * opts.sppse
-            per = -(-total // n_dev)
+            off, per = shard_lane_window(total, n_dev, idx)
             se = self.render_secondary_edges(
                 sd, opts, sensor_id, seed,
-                lane_offset=idx * per, lane_count=per, lane_total=total,
+                lane_offset=off, lane_count=per, lane_total=total,
             )
             if se is not None:
                 edge_img = edge_img + se

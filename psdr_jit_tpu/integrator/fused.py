@@ -21,8 +21,15 @@ pass then gets one ``jax.vjp`` whose backward is cheap (detached values are
 checkpoint-policy-saved, base.py CHECKPOINT_POLICY).
 
 Cost: 1x interior forward + 1x adjoint (vs 2x forward + adjoint for
-remat/path-replay).  Works under a single outer ``jax.jit``; exact same
-sample set and estimator values as ``jax.grad`` of ``renderD``.
+remat/path-replay).  Works under a single outer ``jax.jit``; identical
+sample set as ``jax.grad`` of ``renderD``, and identical values EXCEPT on
+scenes where the attached interior megakernel engages (this path passes
+``vjp_ok=True``; values then agree at ~1e-7 rel, CLAUDE.md round-4
+notes).  NOTE for guided optimization loops: a USER-jitted closure over
+``loss_and_grad`` bakes the secondary-edge guiding table at trace time —
+re-create your jitted step after ``preprocess_secondary_edges`` (the
+``renderD`` path and ``parallel.make_fused_train_step`` thread the table
+as an argument and pick updates up automatically).
 """
 
 from __future__ import annotations
@@ -76,6 +83,17 @@ def _interior_scan(integrator, sd, opts, sensor_id: int, seed, pixel_loss,
     n_local = pix.shape[0]
     zero_floats, _ = _split_float(sd)
     zero_floats = [jnp.zeros_like(x) for x in zero_floats]
+
+    if spp == 0:
+        # edge-term-only configuration (renderD supports it: the interior
+        # image is exactly zero); the loss cotangent is still needed to
+        # pull back through the edge passes
+        image = jnp.zeros((n_local, 3), jnp.float32)
+        loss, pull = jax.vjp(
+            lambda rows: jnp.sum(pixel_loss(rows, pix)), image
+        )
+        (g,) = pull(jnp.float32(1.0))
+        return loss, zero_floats, image, g
 
     # same chunk geometry as the remat render path (pad rows render pixel
     # 0 and are masked out of the loss below)
@@ -151,8 +169,8 @@ def _edge_pullbacks(integrator, sd, opts, sensor_id: int, seed, g_img, acc,
         if lane_window is None:
             return {}
         idx, n_dev = lane_window
-        per = -(-total // n_dev)
-        return {"lane_offset": idx * per, "lane_count": per,
+        off, per = _base.shard_lane_window(total, n_dev, idx)
+        return {"lane_offset": off, "lane_count": per,
                 "lane_total": total}
 
     if opts.sppe > 0 and sd.sensors[sensor_id].edge_info is not None:

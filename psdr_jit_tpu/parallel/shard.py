@@ -75,16 +75,27 @@ def make_fused_train_step(scene, integrator, mesh: Mesh, apply_params,
     )
     active = scene._active_sensors
 
-    def local_step(params, pix_shard, seed):
+    def local_step(params, warp, pix_shard, seed):
         def to_sd(p):
             apply_params(p)
             return scene.configure_data(active)
 
         sd, pull_cfg = jax.vjp(to_sd, params)
-        loss, sd_bar, image = fused_loss_grad_sharded(
-            integrator, sd, opts, sensor_id, seed, pixel_loss, pix_shard,
-            axis,
-        )
+        # install the TRACED guiding table for this trace (same fix as
+        # Integrator._get_jit, 2026-08-20): preprocess_secondary_edges
+        # between steps updates table VALUES without retracing, and a
+        # table appearing retraces via the jit dispatch on its structure
+        prev = getattr(integrator, "warpper", None)
+        if prev is not None and warp is not None:
+            integrator.warpper = {**prev, sensor_id: warp}
+        try:
+            loss, sd_bar, image = fused_loss_grad_sharded(
+                integrator, sd, opts, sensor_id, seed, pixel_loss,
+                pix_shard, axis,
+            )
+        finally:
+            if prev is not None and warp is not None:
+                integrator.warpper = prev
         (p_bar,) = pull_cfg(sd_bar)
         return loss, p_bar, image
 
@@ -92,7 +103,7 @@ def make_fused_train_step(scene, integrator, mesh: Mesh, apply_params,
         return jax.jit(shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P(), P(axis), P()),
+            in_specs=(P(), P(), P(axis), P()),
             out_specs=(P(), P(), P(axis, None)),
             **_SHARD_MAP_KW,
         ))
@@ -111,7 +122,8 @@ def make_fused_train_step(scene, integrator, mesh: Mesh, apply_params,
             cache.clear()
             cache[v] = _make_sharded()
         s, _ = integrator._norm_args(scene, seed, None, None)
-        return cache[v](params, pix, jnp.uint32(s))
+        warp = getattr(integrator, "warpper", {}).get(sensor_id)
+        return cache[v](params, warp, pix, jnp.uint32(s))
 
     return step
 

@@ -164,3 +164,75 @@ def test_fused_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(img_8), np.asarray(img_1), rtol=1e-5, atol=1e-6
     )
+
+
+def test_fused_sharded_guiding_refresh_takes_effect():
+    """make_fused_train_step must pick up a preprocess_secondary_edges
+    call made AFTER the step was created (regression, 2026-08-20: the
+    guiding table was a trace-time closure constant and re-guiding was
+    silently ignored; it now flows in as a jit argument)."""
+    from psdr_jit_tpu.parallel.mesh import make_device_mesh
+    from psdr_jit_tpu.parallel.shard import make_fused_train_step
+
+    sc, integ, mesh_obj, em = _setup(spp=2, sppe=0, sppse=8)
+    target = jnp.full((32 * 32, 3), 0.1, jnp.float32)
+    bv, br = mesh_obj.vertex_positions_raw, em.radiance
+    p0 = (jnp.zeros_like(bv), jnp.zeros_like(br))
+
+    def apply(p):
+        dv, dr = p
+        mesh_obj.vertex_positions_raw = bv + dv
+        em.radiance = br + dr
+
+    def ploss(rows, pix):
+        return jnp.sum(jnp.square(rows - target[pix]), axis=-1)
+
+    dmesh = make_device_mesh(8)
+    step = make_fused_train_step(sc, integ, dmesh, apply, ploss)
+    l_unguided, g_unguided, _ = step(p0, seed=5)
+
+    integ.preprocess_secondary_edges(sc, 0, [4, 4, 4, 8], 1)
+    l_refreshed, g_refreshed, _ = step(p0, seed=5)
+
+    # oracle: a FRESH step created after preprocessing
+    step2 = make_fused_train_step(sc, integ, dmesh, apply, ploss)
+    l_fresh, g_fresh, _ = step2(p0, seed=5)
+
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(g_refreshed),
+                        jax.tree_util.tree_leaves(g_unguided))
+    )
+    assert changed, "post-creation preprocess was ignored by the step"
+    np.testing.assert_allclose(float(l_refreshed), float(l_fresh), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_refreshed),
+                    jax.tree_util.tree_leaves(g_fresh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-8)
+
+
+def test_fused_edge_only_spp0():
+    """spp=0 with edge terms on (edge-only gradients, supported by
+    renderD) must not crash the fused step: zero interior image, loss
+    cotangent still pulled through the edge passes (regression: 1.0/spp
+    ZeroDivisionError at trace time, found 2026-08-20)."""
+    sc, integ, mesh_obj, em = _setup(spp=0, sppe=4, sppse=4)
+    target = jnp.full((32 * 32, 3), 0.1, jnp.float32)
+    bv, br = mesh_obj.vertex_positions_raw, em.radiance
+    p0 = (jnp.zeros_like(bv), jnp.zeros_like(br))
+
+    def apply(p):
+        dv, dr = p
+        mesh_obj.vertex_positions_raw = bv + dv
+        em.radiance = br + dr
+
+    def ploss(rows, pix):
+        return jnp.sum(jnp.square(rows - target[pix]), axis=-1)
+
+    loss, grads, image = integ.loss_and_grad(sc, p0, apply, ploss, seed=3)
+    assert np.asarray(image).max() == 0.0  # interior primal exactly zero
+    assert np.isfinite(float(loss))
+    gleaves = [np.asarray(g) for g in jax.tree_util.tree_leaves(grads)]
+    assert all(np.isfinite(g).all() for g in gleaves)
+    # the boundary estimators must actually contribute gradient signal
+    assert max(np.abs(g).max() for g in gleaves) > 0.0
