@@ -67,6 +67,12 @@ def _build_alias_rows(pmf):
 
     p = np.asarray(pmf, np.float64)
     n = p.shape[0]
+    # the alias index rides as an f32 column: exact only below 2^24
+    # (same packed-f32-index contract as scene.configure_data's assert)
+    assert n < (1 << 24), (
+        f"{n}-entry alias table: f32-packed alias indices are exact only "
+        "below 2^24 entries (core/distribution._build_alias_rows)"
+    )
     total = p.sum()
     if not (total > 0.0) or n == 0:
         # degenerate: uniform fallback (matches sample_reuse's safe_div=0
@@ -119,14 +125,22 @@ class DiscreteDistribution:
             alias_rows=_build_alias_rows(self.pmf),
         )
 
-    def _sample_alias(self, u):
+    def _sample_alias(self, u, u_coin=None):
         """(idx, pmf[idx], u') via ONE (lane, 4) row gather.
 
-        Exactly the target distribution (P(i) = pmf_i/total by alias-table
-        construction) with the standard sample-reuse conditioning; the
-        u->idx mapping differs from CDF inversion, so sequences differ
-        from the reference draw-for-draw while every estimator using them
-        stays unbiased.
+        ``u_coin``: independent uniform for the alias coin flip.  A f32
+        ``u`` carries 24 bits of entropy; selecting among n cells consumes
+        log2(n) of them, so at envmap scale (n ~= 2^19-2^21) the residual
+        fraction has only 3-5 bits — reusing it as the coin (the
+        no-``u_coin`` fallback) QUANTIZES the self-vs-alias decision to
+        2^(24-log2 n) levels while the returned pdf stays exact: a small
+        systematic estimator bias (first-order cancelling when f/pdf is
+        flat, but real — found in review 2026-08-20).  With ``u_coin``
+        the coin is exact and the landing distribution is exactly
+        pmf/total; ``u'`` is then the raw in-cell fraction (uniform given
+        the cell and independent of the coin).  All in-tree callers pass
+        the coin (call sites draw one extra sampler number when
+        ``needs_coin``); the fallback exists for API compatibility.
         """
         n = self.size
         un = u * n
@@ -136,6 +150,11 @@ class DiscreteDistribution:
         prob, alias, p_self, p_other = (
             rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3]
         )
+        if u_coin is not None:
+            take_self = u_coin < prob
+            idx = jnp.where(take_self, j, alias.astype(jnp.int32))
+            p = jnp.where(take_self, p_self, p_other)
+            return idx, p, jnp.clip(f, 0.0, 1.0)
         take_self = f < prob
         idx = jnp.where(take_self, j, alias.astype(jnp.int32))
         p = jnp.where(take_self, p_self, p_other)
@@ -148,6 +167,13 @@ class DiscreteDistribution:
             0.0, 1.0,
         )
         return idx, p, u_new
+
+    @property
+    def needs_coin(self) -> bool:
+        """True when sampling wants an extra independent uniform (the
+        alias coin, see :meth:`_sample_alias`).  Trace-static: alias
+        attachment is part of the pytree structure."""
+        return self.alias_rows is not None
 
     @property
     def size(self) -> int:
@@ -166,10 +192,14 @@ class DiscreteDistribution:
         """Normalized probability masses (reference ``pmf()``)."""
         return self.pmf / self.total
 
-    def sample(self, u):
+    def sample(self, u, u_coin=None):
         """Return (idx, normalized pdf) for uniform samples ``u``."""
+        if self.size == 1:
+            # pmf.cpp:19-22: a single-entry table returns pdf 1 even when
+            # its mass is zero (0/0 -> NaN otherwise)
+            return jnp.zeros(u.shape, jnp.int32), jnp.ones_like(u)
         if self.alias_rows is not None:
-            idx, p, _ = self._sample_alias(u)
+            idx, p, _ = self._sample_alias(u, u_coin)
             return idx, p / self.total
         scaled = u * self.total
         if self.size <= SEARCHSORTED_DENSE_MAX:
@@ -179,13 +209,13 @@ class DiscreteDistribution:
             p = self.pmf[idx]
         return idx, p / self.total
 
-    def sample_reuse(self, u):
+    def sample_reuse(self, u, u_coin=None):
         """Return (idx, pdf, u') reusing the random number (pmf.cpp:30-51)."""
         if self.size == 1:
             idx = jnp.zeros(u.shape, jnp.int32)
             return idx, jnp.ones_like(u), u
         if self.alias_rows is not None:
-            idx, p, u_new = self._sample_alias(u)
+            idx, p, u_new = self._sample_alias(u, u_coin)
             return idx, p / self.total, u_new
         scaled = u * self.total
         if self.size <= SEARCHSORTED_DENSE_MAX:
@@ -240,15 +270,20 @@ class HyperCubeDistribution:
             idx = idx // r
         return jnp.stack(list(reversed(coords)), axis=-1)
 
-    def sample_reuse(self, samples):
+    @property
+    def needs_coin(self) -> bool:
+        return self.distrb is not None and self.distrb.needs_coin
+
+    def sample_reuse(self, samples, u_coin=None):
         """Warp (..., d) uniforms; returns (warped_samples, pdf).
 
         The cell is chosen with the *last* coordinate (reused), then the
         point is jittered uniformly inside the cell (cube_distrb.cpp:43-49).
-        """
+        ``u_coin``: the alias coin for big tables (see DiscreteDistribution
+        ``needs_coin``)."""
         d = len(self.res)
         u_last, _ = samples[..., d - 1], None
-        idx, p_cell, u_last = self.distrb.sample_reuse(u_last)
+        idx, p_cell, u_last = self.distrb.sample_reuse(u_last, u_coin)
         coords = self.cell_coords(idx).astype(jnp.float32)
         res = jnp.asarray(self.res, jnp.float32)
         unit = 1.0 / res

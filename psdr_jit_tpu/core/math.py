@@ -116,10 +116,14 @@ def ray_intersect_scene_aabb(ray: Ray, lower, upper):
     Returns (t, n, G) like reference utils.h:145-164: distance to the exit
     face, inward face normal, and geometry factor ``dot(n,-d)/t^2``.
     """
+    # a zero direction component never exits through that axis: its slab
+    # time must be +inf (reference 1/d -> inf; safe_div's 0 collapsed t to
+    # 0 and silently zeroed the lane's G — review find 2026-08-20)
     inv_d = safe_div(1.0, ray.d)
     t1 = (lower - ray.o) * inv_d
     t2 = (upper - ray.o) * inv_d
     t_far = jnp.maximum(t1, t2)  # per-axis exit distances
+    t_far = jnp.where(ray.d == 0.0, jnp.inf, t_far)
     idx = jnp.argmin(t_far, axis=-1)
     t = jnp.min(t_far, axis=-1)
     # inward normal of the exit face: -sign(d) on the exit axis
@@ -174,7 +178,9 @@ def fresnel_dielectric(eta, cos_theta_i):
                    cos_theta_t_abs + eta_it * cos_theta_i_abs)
     r = 0.5 * (jnp.square(a_s) + jnp.square(a_p))
     r = jnp.where(special_case, r_sc, r)
-    cos_theta_t = -jnp.sign(cos_theta_i) * cos_theta_t_abs
+    # drjit mulsign_neg semantics: sign(+0.0) is +1, so an exactly-grazing
+    # cos_theta_i gives -cos_theta_t_abs (jnp.sign would zero it)
+    cos_theta_t = -jnp.where(cos_theta_i >= 0.0, 1.0, -1.0) * cos_theta_t_abs
     return r, cos_theta_t, eta_it, eta_ti
 
 
@@ -186,30 +192,6 @@ def mulsign(x, s):
 def scrub_nonfinite(x):
     """Replace non-finite entries by 0 (reference integrator.cpp:126)."""
     return jnp.where(jnp.isfinite(x), x, 0.0)
-
-
-def searchsorted_rows(cdf, u):
-    """Batched searchsorted: first index i with cdf[..., i] >= u.
-
-    ``cdf``: (..., N) row-sorted; ``u``: (...,).  Pure log2(N) binary search
-    with static trip count.
-
-    WARNING (TPU): ``take_along_axis`` on per-row tables lowers to
-    SMEM-serialized scalar code (~200x below VPU throughput, device-profile
-    2026-08-17).  Use :func:`searchsorted_1d` whenever every row shares one
-    table — the distribution sampling hot paths all do.
-    """
-    n = cdf.shape[-1]
-    lo = jnp.zeros(u.shape, jnp.int32)
-    hi = jnp.full(u.shape, n - 1, jnp.int32)
-    steps = max(1, (n - 1).bit_length())
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        cm = jnp.take_along_axis(cdf, mid[..., None], axis=-1)[..., 0]
-        pred = cm < u
-        lo = jnp.where(pred, mid + 1, lo)
-        hi = jnp.where(pred, hi, mid)
-    return lo
 
 
 # Below this table size a dense compare-count beats binary search on the

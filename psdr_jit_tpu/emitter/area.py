@@ -48,7 +48,10 @@ class AreaLightData:
         ok = active & (its.wi[..., 2] > 0.0)
         return jnp.where(ok[..., None], self.radiance, 0.0)
 
-    def sample_position(self, ref_p, sample2, active) -> PositionSample:
+    def sample_position(self, ref_p, sample2, active,
+                        u_coin=None) -> PositionSample:
+        # u_coin: unused (face tables are CDF-sampled); accepted so the
+        # scene-level emitter dispatch has one signature
         ps = sample_position(self.mesh_data, sample2)
         return ps.replace(is_valid=ps.is_valid & active)
 

@@ -27,7 +27,7 @@ class Emitter(Object):
     def eval(self, its, active):
         raise NotImplementedError
 
-    def sample_position(self, ref_p, u2, active):
+    def sample_position(self, ref_p, u2, active, u_coin=None):
         raise NotImplementedError
 
     def sample_position_pdf(self, ref_p, its, active):

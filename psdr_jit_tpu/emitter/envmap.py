@@ -84,9 +84,13 @@ class EnvironmentMapData:
         val = self.radiance.eval(uv, flip_v=False, envmap_mode=True) * self.scale
         return jnp.where(active[..., None], val, 0.0)
 
-    def sample_direction(self, uv):
-        """(detached) direction + pdf from the 2D cell table (envmap.cpp:117-132)."""
-        uv, pdf = self.cell_distrb.sample_reuse(uv)
+    def sample_direction(self, uv, u_coin=None):
+        """(detached) direction + pdf from the 2D cell table (envmap.cpp:117-132).
+
+        ``u_coin``: the alias coin for big importance tables (see
+        DiscreteDistribution.needs_coin) — required for an exact landing
+        distribution at envmap cell counts."""
+        uv, pdf = self.cell_distrb.sample_reuse(uv, u_coin)
         theta = uv[..., 1] * PI
         phi = uv[..., 0] * TWO_PI
         sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
@@ -102,12 +106,14 @@ class EnvironmentMapData:
         d = xf.transform_dir(jax.lax.stop_gradient(self.to_world), d)
         return d, pdf
 
-    def sample_position(self, ref_p, sample2, active) -> PositionSample:
+    def sample_position(self, ref_p, sample2, active,
+                        u_coin=None) -> PositionSample:
         """Sample direction, then place the 'position' on the scene AABB
         (envmap.cpp:87-114)."""
         o = jax.lax.stop_gradient(ref_p)
         uv = jax.lax.stop_gradient(sample2)
-        d, pdf = self.sample_direction(uv)
+        d, pdf = self.sample_direction(
+            uv, None if u_coin is None else jax.lax.stop_gradient(u_coin))
         ray = Ray(o, d)
         t, n, g = ray_intersect_scene_aabb(
             ray, jax.lax.stop_gradient(self.lower),

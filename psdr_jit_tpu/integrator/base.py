@@ -597,7 +597,10 @@ class Integrator(Object):
 
         def chunk_vals(lane, active):
             sampler = Sampler(seed + jnp.uint32(STREAM_PRIMARY), lane)
-            es = sample_primary_edge(sensor, sampler.next_1d())
+            u1 = sampler.next_1d()
+            pe_coin = (sampler.next_1d()
+                       if sensor.edge_info.distrb.needs_coin else None)
+            es = sample_primary_edge(sensor, u1, u_coin=pe_coin)
             valid = active & (es.idx >= 0)
             if pe_stack_enabled(sd_det):
                 # ONE double-width Li over ray_n‖ray_p: halves the op count

@@ -30,14 +30,18 @@ from ..ops.gather import gather_rows
 from ..scene.scene import SceneData
 
 
-def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool):
+def eval_secondary_edge(sd: SceneData, sensor, sample3, diff: bool,
+                        u_coin=None, u_coin_emitter=None):
     """Returns (pixel_idx, value).
 
     ``diff=True``: value is derivative-only (``result - detach(result)``).
     ``diff=False``: value is the detached guiding integrand (no normal
     velocity factor), used by ``preprocess_secondary_edges``.
+    ``u_coin``/``u_coin_emitter``: alias coins for the edge / envmap
+    tables (DiscreteDistribution ``needs_coin``).
     """
-    bss = sd.sample_boundary_segment_direct(sample3)
+    bss = sd.sample_boundary_segment_direct(sample3, u_coin=u_coin,
+                                            u_coin_emitter=u_coin_emitter)
     valid = bss.is_valid
 
     _p0 = jax.lax.stop_gradient(bss.p0)
@@ -196,8 +200,12 @@ def _guiding_round(sd, sensor_id, seed_val, base, unit, cell_idx,
     num_samples = cell_idx.shape[0]
     sampler = Sampler(seed_val, jnp.arange(num_samples, dtype=jnp.uint32))
     sample3 = (base + sampler.next_nd(3)) * unit
+    se_coin = (sampler.next_1d()
+               if sd.sec_edge_distrb.needs_coin else None)
+    em_coin = (sampler.next_1d() if sd.emitter_coin_needed else None)
     _, value0 = eval_secondary_edge(
-        sd, sd.sensors[sensor_id], sample3, diff=False
+        sd, sd.sensors[sensor_id], sample3, diff=False,
+        u_coin=se_coin, u_coin_emitter=em_coin,
     )
     value0 = scrub_nonfinite(value0)
     if spp_cell > 1:
@@ -266,11 +274,16 @@ class SecondaryEdgeMixin:
             sampler = Sampler(seed + jnp.uint32(STREAM_SECONDARY), lane)
             sample3 = sampler.next_nd(3)
             if warp is not None:
-                sample3, pdf0 = warp.sample_reuse(sample3)
+                w_coin = (sampler.next_1d() if warp.needs_coin else None)
+                sample3, pdf0 = warp.sample_reuse(sample3, w_coin)
             else:
                 pdf0 = jnp.ones(lane.shape, jnp.float32)
+            se_coin = (sampler.next_1d()
+                       if sd.sec_edge_distrb.needs_coin else None)
+            em_coin = (sampler.next_1d() if sd.emitter_coin_needed else None)
             idx, value = eval_secondary_edge(
-                sd, sd.sensors[sensor_id], sample3, diff=True
+                sd, sd.sensors[sensor_id], sample3, diff=True,
+                u_coin=se_coin, u_coin_emitter=em_coin,
             )
             value = jnp.where(
                 (pdf0 > EPSILON)[..., None],

@@ -17,7 +17,11 @@ from .edge import SecondaryEdgeMixin
 def nee_contribution(sd, its, sampler, active, diff: bool, throughput,
                      tape=None):
     """Next-event estimation block (path.cpp:47-83).  Returns contribution."""
-    ps = sd.sample_emitter_position(its.p, sampler.next_2d(), active)
+    u2 = sampler.next_2d()
+    # exact alias coin for big envmap importance tables (trace-static
+    # draw-count change per scene class; see DiscreteDistribution.needs_coin)
+    coin = sampler.next_1d() if sd.emitter_coin_needed else None
+    ps = sd.sample_emitter_position(its.p, u2, active, u_coin=coin)
     active_direct = active & ps.is_valid & ~sd.is_emitter(its, active)
     wod = ps.p - its.p
     dist_sqr = squared_norm(wod)

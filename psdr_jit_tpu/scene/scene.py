@@ -272,17 +272,30 @@ class SceneData:
     # ------------------------------------------------------------------
     # Emitter sampling (scene.cpp:987-1024)
     # ------------------------------------------------------------------
-    def sample_emitter_position(self, ref_p, sample2, active) -> PositionSample:
+    @property
+    def emitter_coin_needed(self) -> bool:
+        """Trace-static: does emitter-position sampling want an extra
+        uniform (the alias coin of a big envmap importance table)?  Call
+        sites draw one more sampler number iff this is True, keeping the
+        draw schedule static per scene class."""
+        return any(
+            getattr(getattr(em, "cell_distrb", None), "needs_coin", False)
+            for em in self.emitters
+        )
+
+    def sample_emitter_position(self, ref_p, sample2, active,
+                                u_coin=None) -> PositionSample:
         assert len(self.emitters) > 0, "No emitter!"
         if len(self.emitters) == 1:
-            return self.emitters[0].sample_position(ref_p, sample2, active)
+            return self.emitters[0].sample_position(ref_p, sample2, active,
+                                                    u_coin=u_coin)
         u = sample2[..., 1]
         e_idx, e_pdf, u = self.emitters_distrb.sample_reuse(u)
         sample2 = jnp.stack([sample2[..., 0], u], axis=-1)
         out = None
         for i, em in enumerate(self.emitters):
             m = active & (e_idx == i)
-            ps = em.sample_position(ref_p, sample2, m)
+            ps = em.sample_position(ref_p, sample2, m, u_coin=u_coin)
             if out is None:
                 out = ps
             else:
@@ -306,14 +319,19 @@ class SceneData:
     # ------------------------------------------------------------------
     # Boundary segment sampling (scene.cpp:1027-1068)
     # ------------------------------------------------------------------
-    def sample_boundary_segment_direct(self, sample3, active=None) -> BoundarySegSample:
+    def sample_boundary_segment_direct(self, sample3, active=None,
+                                       u_coin=None,
+                                       u_coin_emitter=None) -> BoundarySegSample:
+        """``u_coin``/``u_coin_emitter``: alias coins for the edge table /
+        the envmap importance table (see DiscreteDistribution.needs_coin);
+        callers draw them iff the respective ``needs_coin`` is True."""
         se = self.sec_edge
         assert se is not None, "no secondary edges configured"
         if active is None:
             active = jnp.ones(sample3.shape[:-1], bool)
 
         u0 = sample3[..., 0]
-        edge_idx, pdf0, u0 = self.sec_edge_distrb.sample_reuse(u0)
+        edge_idx, pdf0, u0 = self.sec_edge_distrb.sample_reuse(u0, u_coin)
         # ONE packed matmul-gather for every per-edge field (plain
         # shared-table gathers serialize through SMEM on TPU)
         rows = gather_rows(
@@ -339,7 +357,8 @@ class SceneData:
 
         # light point
         ps2 = self.sample_emitter_position(
-            p0_det, jax.lax.stop_gradient(sample3[..., 1:3]), active
+            p0_det, jax.lax.stop_gradient(sample3[..., 1:3]), active,
+            u_coin=u_coin_emitter,
         )
         ps2 = jax.lax.stop_gradient(ps2)
 

@@ -127,10 +127,14 @@ class SensorData:
         )
 
 
-def sample_primary_edge(sensor: SensorData, sample1) -> PrimaryEdgeSample:
-    """Sample a point on a projected silhouette edge (perspective.cpp:200-226)."""
+def sample_primary_edge(sensor: SensorData, sample1,
+                        u_coin=None) -> PrimaryEdgeSample:
+    """Sample a point on a projected silhouette edge (perspective.cpp:200-226).
+
+    ``u_coin``: alias coin for big edge tables (DiscreteDistribution
+    ``needs_coin``)."""
     info = sensor.edge_info
-    edge_idx, pdf, u = info.distrb.sample_reuse(sample1)
+    edge_idx, pdf, u = info.distrb.sample_reuse(sample1, u_coin)
     # one packed one-hot gather for every per-edge field: plain shared-table
     # gathers serialize through SMEM on TPU (device profile 2026-08-17)
     rows = gather_rows(

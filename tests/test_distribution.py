@@ -131,3 +131,44 @@ def test_hypercube_3d_cell_coords_roundtrip():
     coords = np.asarray(hc.cell_coords(idx))
     flat = coords[:, 0] * 6 + coords[:, 1] * 2 + coords[:, 2]
     np.testing.assert_array_equal(flat, np.arange(30))
+
+
+def test_alias_exact_coin_unbiased_at_big_n():
+    """The exact-coin alias path (u_coin threaded from the samplers,
+    2026-08-20): at large table sizes the in-cell fraction keeps only
+    24 - log2(n) bits, so the coin-from-fraction fallback QUANTIZES the
+    self-vs-alias probability; the independent coin restores the exact
+    landing distribution.  Checked on a n=2^17 table where the fallback's
+    coin has 7 bits: aggregate bias of 1/pdf-weighted estimates must
+    vanish (E[1[x in S]/pdf(x)] == |S| for any cell subset)."""
+    n = 1 << 17
+    rng = np.random.default_rng(1)
+    pmf = jnp.asarray((rng.uniform(0.02, 1.0, n) ** 2).astype(np.float32))
+    d = DiscreteDistribution.init(pmf).with_alias()
+    assert d.needs_coin
+    m = 1 << 21
+    s = Sampler(7, jnp.arange(m, dtype=jnp.uint32))
+    u = s.next_1d()
+    coin = s.next_1d()
+    idx, p, u2 = d.sample_reuse(u, coin)
+    idx = np.asarray(idx)
+    pdf = np.asarray(p)
+    # inverse-pdf estimator of the count of cells in a subset: unbiased
+    # only if the landing distribution equals pmf/total exactly
+    for lo, hi in ((0, n // 3), (n // 3, n)):
+        sel = (idx >= lo) & (idx < hi)
+        est = np.where(sel, 1.0 / np.maximum(pdf, 1e-30), 0.0).mean()
+        assert abs(est / (hi - lo) - 1.0) < 5e-3, (lo, hi, est)
+    u2 = np.asarray(u2)
+    assert 0.0 <= u2.min() and u2.max() <= 1.0
+    assert abs(u2.mean() - 0.5) < 2e-3
+
+
+def test_alias_table_size_guard():
+    """f32-packed alias indices are exact only below 2^24 entries; the
+    builder must refuse bigger tables instead of silently corrupting."""
+    big = jnp.ones(1 << 24, jnp.float32)
+    d = DiscreteDistribution.init(big)
+    import pytest
+    with pytest.raises(AssertionError, match="2\\^24"):
+        d.with_alias()
