@@ -441,15 +441,17 @@ class Integrator(Object):
         return out
 
     def loss_and_grad(self, scene: Scene, params, apply_params, pixel_loss,
-                      sensor_id: int = 0, seed: int = -1):
+                      sensor_id: int = 0, seed: int = -1, **kw):
         """Fused single-pass training step for pixel-local losses:
         ``(loss, param_grads, image)`` with one forward + one adjoint and
         zero rematerialization (integrator/fused.py; the TPU answer to the
-        reference's tape backward, README.md:102-104)."""
+        reference's tape backward, README.md:102-104).  ``warp=``: thread
+        the secondary-edge guiding table through a user jit (see
+        integrator/fused.py — tracing with an implicit table raises)."""
         from .fused import loss_and_grad as _fused
 
         return _fused(self, scene, params, apply_params, pixel_loss,
-                      sensor_id, seed)
+                      sensor_id, seed, **kw)
 
     # -- machinery -------------------------------------------------------------
     def _get_jit(self, kind: str, opts_key, sensor_id: int, has_pix: bool):

@@ -26,10 +26,11 @@ sample set as ``jax.grad`` of ``renderD``, and identical values EXCEPT on
 scenes where the attached interior megakernel engages (this path passes
 ``vjp_ok=True``; values then agree at ~1e-7 rel, CLAUDE.md round-4
 notes).  NOTE for guided optimization loops: a USER-jitted closure over
-``loss_and_grad`` bakes the secondary-edge guiding table at trace time —
-re-create your jitted step after ``preprocess_secondary_edges`` (the
+``loss_and_grad`` would bake the secondary-edge guiding table at trace
+time; tracing with an implicit table therefore RAISES — pass the table
+as a jit argument (``warp=``, see :func:`loss_and_grad`).  The
 ``renderD`` path and ``parallel.make_fused_train_step`` thread the table
-as an argument and pick updates up automatically).
+automatically.
 """
 
 from __future__ import annotations
@@ -229,24 +230,76 @@ def fused_loss_grad_sharded(integrator, sd, opts, sensor_id: int, seed,
     return loss, rebuild(acc), image
 
 
+_WARP_AUTO = object()  # sentinel: "warp not passed explicitly"
+
+
+def _under_trace() -> bool:
+    """True when called inside an active jax trace (a user ``jax.jit``)."""
+    try:
+        from jax._src.core import trace_state_clean
+        return not trace_state_clean()
+    except Exception:  # private API moved: fall back to "not tracing"
+        return False
+
+
 def loss_and_grad(integrator, scene, params, apply_params, pixel_loss,
-                  sensor_id: int = 0, seed: int = -1):
+                  sensor_id: int = 0, seed: int = -1, warp=_WARP_AUTO):
     """One fused training step: ``(loss, param_grads, image)``.
 
     ``apply_params(params)`` mutates the python scene objects (same closure
     pattern as differentiating ``renderD``); gradients flow back through
     ``scene.configure_data``'s traced compile.  Jittable as a whole:
     ``jax.jit(lambda p, s: integ.loss_and_grad(scene, p, apply, loss, seed=s))``.
+
+    ``warp``: the secondary-edge guiding table.  Left unset, the
+    integrator's current table is used — and, because a guiding table
+    read inside a USER ``jax.jit`` closure would be silently baked at
+    trace time (a later ``preprocess_secondary_edges`` would then be
+    ignored — stale gradients), tracing with an implicit table RAISES.
+    For guided loops under a user jit, thread the table as a jit
+    argument::
+
+        step = jax.jit(lambda p, s, w: integ.loss_and_grad(
+            sc, p, apply, ploss, seed=s, warp=w))
+        step(params, seed, integ.warpper.get(0))   # fresh every call
+
+    or skip the outer jit (the fused step is internally chunk-jitted) —
+    ``renderD`` and ``parallel.make_fused_train_step`` already thread the
+    table automatically.  Passing ``warp=None`` explicitly renders
+    unguided.  (VERDICT r4 weak #7: guard added 2026-08-20.)
     """
     seed, _ = integrator._norm_args(scene, seed, None, None)
+    has_warpper = hasattr(integrator, "warpper")
+    if warp is _WARP_AUTO:
+        warp = (integrator.warpper.get(sensor_id) if has_warpper else None)
+        if warp is not None and _under_trace():
+            raise RuntimeError(
+                "loss_and_grad is being traced (an outer jax.jit) while the "
+                f"integrator holds a secondary-edge guiding table for sensor "
+                f"{sensor_id}: the table would be baked into the trace as a "
+                "constant and any later preprocess_secondary_edges would be "
+                "silently ignored (stale gradients). Pass the table as a jit "
+                "argument instead: jax.jit(lambda p, s, w: integ."
+                "loss_and_grad(..., warp=w)) and feed integ.warpper.get("
+                f"{sensor_id}) per call; or pass warp=None to render "
+                "unguided; or drop the outer jit."
+            )
 
     def to_sd(p):
         apply_params(p)
         return scene.configure_data(scene._active_sensors)
 
     sd, pull_cfg = jax.vjp(to_sd, params)
-    loss, sd_bar, image = fused_loss_grad(
-        integrator, sd, scene.opts, sensor_id, jnp.uint32(seed), pixel_loss
-    )
+    prev = integrator.warpper if has_warpper else None
+    if has_warpper:
+        integrator.warpper = {**prev, sensor_id: warp}
+    try:
+        loss, sd_bar, image = fused_loss_grad(
+            integrator, sd, scene.opts, sensor_id, jnp.uint32(seed),
+            pixel_loss
+        )
+    finally:
+        if has_warpper:
+            integrator.warpper = prev
     (p_bar,) = pull_cfg(sd_bar)
     return loss, p_bar, image
