@@ -22,7 +22,9 @@ the last parseable line is always the most complete.  Optional sections:
   * ``jaxgrad_full_mrays`` — ``jax.grad`` of the ``renderD`` L2 loss
     (remat/path-replay reverse path; the round-1 measurement style),
   * ``envmap128_guided_*`` — BASELINE config #3 (Microfacet bunny + envmap),
-  * ``large_scene_*`` — 100k-triangle gallery renderC through the BVH path.
+  * ``large_scene_*`` — 100k-triangle gallery renderC through the BVH path,
+  * ``bvh_grad_*`` — gallery-class fused fwd+bwd step, all three
+    estimators (the differentiable BVH-path metric, VERDICT r4 #7).
 A wall-clock budget (PSDR_BENCH_BUDGET_S, default 1500 s from process
 start) skips remaining sections and sets ``"truncated": true``.
 
@@ -118,6 +120,63 @@ def _time_fn(fn, args_for):
             _force(fn(*args_for(blk * N_ITER + i + N_WARMUP)))
         best = min(best, (time.perf_counter() - t0) / N_ITER)
     return best
+
+
+def _start_cpu_oracle():
+    """Launch the CPU half of the cross-backend gradient oracle as a
+    subprocess (overlaps with the TPU gate compiles).  Returns
+    (process, npz_path) or None if launch fails."""
+    import subprocess
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(prefix="psdr_oracle_"),
+                        "cpu.npz")
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "crosscheck.py")
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, script, "--cpu", path],
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        )
+    except OSError as e:  # pragma: no cover
+        sys.stderr.write(f"cpu oracle launch failed: {e}\n")
+        return None
+    return proc, path
+
+
+def _oracle_gate(handle):
+    """Cross-backend gradient oracle (VERDICT r4 next #4): the canonical
+    small-cbox training step — loss + parameter grads, all three
+    estimators — on the TPU vs the same graph on CPU (identical sample
+    set, zero MC noise between backends).  Catches the bug class the
+    mega-vs-XLA gate is structurally blind to: TPU-only float semantics
+    (one-pass bf16 matmuls, excess-precision elision) taint every
+    on-device path equally; CPU does not elide.  Validated on hardware:
+    PSDR_GATHER=convert (the deliberately-reverted broken split) must
+    fail this gate (scripts/oracle_validate.py).  Raises AssertionError
+    on divergence; returns the relative-error dict."""
+    import crosscheck
+
+    tpu_res = crosscheck.compute()
+    proc, path = handle
+    try:
+        err = proc.communicate(timeout=max(60.0, _left() - 60.0))[1]
+    except Exception:
+        proc.kill()
+        raise RuntimeError("cpu oracle subprocess timed out")
+    if proc.returncode != 0:
+        tail = (err or b"").decode(errors="replace")[-800:]
+        raise RuntimeError(f"cpu oracle subprocess failed: {tail}")
+    rel = crosscheck.compare(crosscheck.load(path), tpu_res)
+    # Tolerances calibrated on v5e (scripts/oracle_validate.py,
+    # 2026-08-20): healthy tree measures loss 1.3e-5 / grad 5.2e-3 /
+    # img 9.9e-4 (f32 reduction-order noise + a handful of chaotic
+    # visibility lanes); PSDR_GATHER=convert (the deliberately-reverted
+    # elision-broken split) measures loss 3.0e-2 / grad 0.45 / img 0.36
+    # — every axis fails.  PSDR_GATHER=highest matches bf16x3 exactly.
+    assert rel["finite"] and rel["loss"] < 5e-3 and rel["img"] < 1e-2 \
+        and rel["grad"] < 0.05, rel
+    return rel
 
 
 def _parity_gate():
@@ -276,14 +335,17 @@ def _time_envmap():
         mesh.vertex_positions_raw = bv + dv
         em.radiance = jax.tree_util.tree_map(jnp.add, br, dr)
 
-    def step(p, s, tgt):
+    def step(p, s, tgt, w):
         def ploss(rows, pix):
             return jnp.sum(jnp.square(rows - tgt[pix]), axis=-1)
-        return integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
+        # the guiding table rides as a jit ARGUMENT (fresh each call);
+        # an implicit table under a user jit raises (integrator/fused.py)
+        return integ.loss_and_grad(sc, p, apply, ploss, seed=s, warp=w)[:2]
 
     fn = jax.jit(step)
+    warp = integ.warpper.get(0)
     p0 = (jnp.zeros_like(bv), jax.tree_util.tree_map(jnp.zeros_like, br))
-    dt = _time_fn(fn, lambda i: (p0, i, target))
+    dt = _time_fn(fn, lambda i: (p0, i, target, warp))
     mesh.vertex_positions_raw = bv
     em.radiance = br
     rays = res * res * (SPP * 3 + SPPE * 2 * 3 + SPPSE * 3)
@@ -313,6 +375,59 @@ def _time_large():
     rays = res * res * spp * (1 + 2 * depth)
     n_tris = sum(m.num_faces for m in sc.meshes)
     return 1e3 * dt, rays / dt / 1e6, n_tris
+
+
+def _time_bvh_grad():
+    """Differentiable BVH-path metric (VERDICT r4 #7): the gallery-class
+    scene fwd+bwd with ALL THREE estimators — the BASELINE config #5
+    workload shape (room-scale optimization) at >BVH_MIN_TRIS triangles,
+    where gradient-path perf was previously unmeasured (the chunk-routing
+    knobs were tuned on forward evidence only).  One fused training step:
+    gradient w.r.t. one sphere's vertex positions + the light radiance;
+    the first sphere keeps its boundary edges so the secondary-edge set
+    contains curved silhouettes."""
+    from scenes import make_gallery
+
+    res, spp, depth = (64, 1, 1) if _SMOKE else (256, 4, 2)
+    sc = make_gallery(width=res, height=res, spp=spp, sppe=spp, sppse=spp,
+                      n_spheres=4 if _SMOKE else 80,
+                      subdiv=2 if _SMOKE else 3, edge_spheres=1)
+    sc.configure()
+    integ = psdr.PathTracer(max_depth=depth)
+    mesh = sc.meshes[6]  # the first (edge-enabled) sphere
+    em = sc.emitters[0]
+    bv, br = mesh.vertex_positions_raw, em.radiance
+    import numpy as _np
+    target = jnp.asarray(
+        _np.random.default_rng(0).random((res * res, 3)), jnp.float32
+    )
+
+    def apply(p):
+        dv, dr = p
+        mesh.vertex_positions_raw = bv + dv
+        em.radiance = br + dr
+
+    def step(p, s, tgt):
+        def ploss(rows, pix):
+            return jnp.sum(jnp.square(rows - tgt[pix]), axis=-1)
+        return integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
+
+    fn = jax.jit(step)
+    p0 = (jnp.zeros_like(bv), jnp.zeros_like(br))
+    dt = _time_fn(fn, lambda i: (p0, i, target))
+    mesh.vertex_positions_raw = bv
+    em.radiance = br
+    rays = res * res * (spp * (1 + 2 * depth)
+                        + spp * 2 * (1 + 2 * depth) + spp * 3)
+    n_tris = sum(m.num_faces for m in sc.meshes)
+    return 1e3 * dt, rays / dt / 1e6, n_tris
+
+
+def _sec_bvh_grad(out):
+    r = _time_bvh_grad()
+    out["bvh_grad_tris"] = r[2]
+    out["bvh_grad_ms_step"] = round(r[0], 1)
+    out["bvh_grad_mrays"] = round(r[1], 3)
 
 
 def _headline(out):
@@ -392,6 +507,7 @@ def main():
     # not crash bench before any JSON line.  AssertionError = genuine
     # numerical divergence -> fail loudly with a parseable zero record.
     if jax.default_backend() == "tpu":
+        oracle = _start_cpu_oracle()  # overlaps with the TPU gate compiles
         for attempt in range(3):
             try:
                 rel = _parity_gate()
@@ -410,6 +526,24 @@ def main():
                     raise
                 sys.stderr.write(f"parity attempt {attempt} failed: {e}\n")
                 time.sleep(20)
+        # cross-backend gradient oracle: TPU vs CPU, same sample set.
+        # A TRANSIENT failure (subprocess/runtime) records but does not
+        # zero the round; a numerical AssertionError does.
+        if oracle is not None:
+            try:
+                rel2 = _oracle_gate(oracle)
+                out["oracle"] = "ok"
+                sys.stderr.write(f"cross-backend oracle ok: {rel2}\n")
+            except AssertionError as e:
+                out["parity"] = f"ORACLE FAILED: {e}"
+                out["metric"] = "cbox512_spp32_sppe32_sppse32_depth3_fwdbwd"
+                out["value"] = 0.0
+                out["unit"] = "Mrays/s"
+                _emit(out)
+                sys.exit(1)
+            except Exception as e:  # noqa: BLE001
+                out["oracle"] = f"transient: {e}"
+                sys.stderr.write(f"cross-backend oracle transient: {e}\n")
 
     # ---- headline: measured and PRINTED before anything else compiles ----
     # The remote TPU runtime occasionally drops into FAILED_PRECONDITION
@@ -432,6 +566,7 @@ def main():
         ("jaxgrad", _sec_jaxgrad, 120),
         ("envmap", _sec_envmap, 240),
         ("large", _sec_large, 180),
+        ("bvh_grad", _sec_bvh_grad, 240),
     ):
         if _left() < min_s:
             out["truncated"] = True

@@ -46,7 +46,11 @@ cliff (the truncated hi saturates at bf16 max finite and the residual
 parts carry the rest).
 
 Set ``PSDR_GATHER=highest`` to fall back to the plain 6-pass f32 matmul
-when isolating numerical questions.
+when isolating numerical questions.  ``PSDR_GATHER=convert`` deliberately
+REVERTS to the elision-broken convert-pair split — it exists ONLY to
+validate that the cross-backend gradient oracle (bench.py parity gate /
+tests/crosscheck.py) detects the round-2..4 bug class; never use it for
+real renders.
 """
 
 from __future__ import annotations
@@ -82,6 +86,19 @@ def _trunc_bf16(x):
         u & jnp.uint32(0xFFFF0000), jnp.float32)
 
 
+def _convert_parts(m):
+    """The BROKEN pre-2026-08-20 split, kept ONLY for oracle validation
+    (PSDR_GATHER=convert): on TPU, XLA's excess-precision elision rewrites
+    ``m - f32(bf16(m))`` to zero, so mid/lo collapse and the "exact"
+    gather silently runs one bf16 pass; on CPU (no elision) it is exact.
+    The cross-backend gradient oracle must FAIL under this mode."""
+    hi = m.astype(jnp.bfloat16)
+    r1 = m - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = r1 - mid.astype(jnp.float32)
+    return hi, mid, lo.astype(jnp.bfloat16)
+
+
 def _trunc_parts(m):
     """Exact 3-way split: bf16 parts with hi+mid+lo == m BITWISE.
 
@@ -106,9 +123,15 @@ def _trunc_parts(m):
             lo.astype(jnp.bfloat16))
 
 
+def _parts(m):
+    if _gather_mode() == "convert":
+        return _convert_parts(m)
+    return _trunc_parts(m)
+
+
 def _split3(m):
     """Exact 3-way bf16 split along a new trailing concat: hi+mid+lo == m."""
-    return jnp.concatenate(_trunc_parts(m), axis=-1)
+    return jnp.concatenate(_parts(m), axis=-1)
 
 
 def _sel3(oh3, matrix):
@@ -147,7 +170,7 @@ def _scat3(oh3, ct):
 
 def _split3_rows(m):
     """Exact 3-way bf16 split stacked along ROWS: vcat(hi, mid, lo)."""
-    return jnp.concatenate(_trunc_parts(m), axis=0)
+    return jnp.concatenate(_parts(m), axis=0)
 
 
 def _sel3_t(oh3t, matrix):

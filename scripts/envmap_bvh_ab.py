@@ -78,7 +78,9 @@ for tr, su, cl in VARIANTS:
     def step(p, s, tgt, _integ=integ):
         def ploss(rows, pix):
             return jnp.sum(jnp.square(rows - tgt[pix]), axis=-1)
-        return _integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
+        # explicit warp: deliberate fixed-table bake for this A/B
+        return _integ.loss_and_grad(sc, p, apply, ploss, seed=s,
+                                    warp=_integ.warpper.get(0))[:2]
 
     fn = jax.jit(step)
     t0 = time.perf_counter()

@@ -68,7 +68,9 @@ def main():
     def step(p, s, tgt):
         def ploss(rows, pix):
             return jnp.sum(jnp.square(rows - tgt[pix]), axis=-1)
-        return integ.loss_and_grad(sc, p, apply, ploss, seed=s)[:2]
+        # explicit warp: deliberate fixed-table bake for this profile
+        return integ.loss_and_grad(sc, p, apply, ploss, seed=s,
+                                   warp=integ.warpper.get(0))[:2]
 
     fn = jax.jit(step)
     zeros_p = (jnp.zeros_like(base_v),

@@ -164,12 +164,16 @@ def _icosphere(subdiv: int):
 
 
 def make_gallery(width=128, height=128, spp=4, sppe=0, sppse=0,
-                 n_spheres=80, subdiv=3, seed=0):
+                 n_spheres=80, subdiv=3, seed=0, edge_spheres=0):
     """Large-scene end-to-end workload: a lit box room filled with a jittered
     grid of smooth-shaded icospheres — ``n_spheres * 20 * 4^subdiv``
     triangles (default 102,400), exercising the sorted-ray block-culled BVH
     path inside a real render (the reference handles such scenes natively
-    through its compacted OptiX GAS, scene_optix.cpp:265-333)."""
+    through its compacted OptiX GAS, scene_optix.cpp:265-333).
+
+    ``edge_spheres``: enable boundary-edge extraction on the first N
+    spheres (curved silhouettes in the secondary-edge set) — used by the
+    differentiable BVH-path bench metric; default off (forward metric)."""
     sc = psdr.Scene()
     sc.opts = psdr.RenderOption(width, height, spp, sppe, sppse)
 
@@ -221,7 +225,9 @@ def make_gallery(width=128, height=128, spp=4, sppe=0, sppse=0,
                 c += rng.uniform(-0.3, 0.3, 3)
                 r = rng.uniform(0.35, 0.6)
                 m = psdr.Mesh()
-                m.enable_edges = False  # edge terms off for the gallery
+                # edge terms off for the bulk of the gallery (forward
+                # metric); the first ``edge_spheres`` keep their edges
+                m.enable_edges = placed < edge_spheres
                 m.load_raw(sv * r + c[None, :], sf)
                 sc.add_Mesh(m, None, f"m{placed % 6}")
                 placed += 1
