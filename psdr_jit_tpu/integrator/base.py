@@ -84,6 +84,28 @@ def se_pair_enabled(sd) -> bool:
         return _SE_PAIR
     return is_bvh_scene(sd)
 
+
+# Liveness-sort the secondary-edge lanes before the expensive body so the
+# dense intersect kernels shed the (massively) invalid majority at tile
+# granularity (integrator/edge.py, intersect_pallas DENSE_PARK).
+# REFUTED on the cbox headline (scripts/rrows_ab.py interleaved,
+# 2026-08-20, losses bitwise-identical across variants): the bss probe +
+# per-chunk 3-operand sort costs ~34 ms/step while tile-granular skipping
+# recovers at most ~13 ms even at 4k-lane tiles (sort_256 556.8 /
+# sort_64 543.9 / sort_32 544.9 vs base 522.4 ms/step) — the SE body's
+# non-intersect glue still pays every lane, and the intersect share the
+# sort could shed is bounded by the 57%-bss-valid fraction.  What DID win
+# is finer kernel tiles alone (nosort_64 514.1; see R_ROWS_SMALL).  The
+# knob stays for re-evaluation on future workload classes; default OFF.
+_ss = _os.environ.get("PSDR_SE_SORT", "0")
+_SE_SORT = None if _ss == "auto" else (_ss != "0")
+
+
+def se_sort_enabled(sd) -> bool:
+    if _SE_SORT is not None:
+        return _SE_SORT
+    return not is_bvh_scene(sd)
+
 # Reverse-AD memory/recompute strategy for the interior bounce loop:
 #   "chunk"  — jax.checkpoint around each lane chunk (recompute the whole
 #              chunk, incl. intersections, in the backward sweep),

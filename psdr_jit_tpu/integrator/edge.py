@@ -264,23 +264,57 @@ class SecondaryEdgeMixin:
                                lane_total=None, stack_dtype=None):
         """path.cpp:274-294; returns the derivative-only (n_pix, 3) image."""
         from .base import (STREAM_SECONDARY, _chunked_splat_sum,
-                           edge_chunk_lanes)
+                           edge_chunk_lanes, se_sort_enabled)
 
         n_samples = (opts.num_pixels * opts.sppse
                      if lane_count is None else lane_count)
         warp = self.warpper.get(sensor_id)
+        do_sort = se_sort_enabled(sd)
 
-        def chunk_vals(lane, active):
-            sampler = Sampler(seed + jnp.uint32(STREAM_SECONDARY), lane)
+        def draws(sampler):
+            """The chunk's sampler consumption schedule (ONE definition so
+            the liveness probe and the real body can never diverge)."""
             sample3 = sampler.next_nd(3)
             if warp is not None:
                 w_coin = (sampler.next_1d() if warp.needs_coin else None)
                 sample3, pdf0 = warp.sample_reuse(sample3, w_coin)
             else:
-                pdf0 = jnp.ones(lane.shape, jnp.float32)
+                pdf0 = None
             se_coin = (sampler.next_1d()
                        if sd.sec_edge_distrb.needs_coin else None)
             em_coin = (sampler.next_1d() if sd.emitter_coin_needed else None)
+            return sample3, pdf0, se_coin, em_coin
+
+        def chunk_vals(lane, active):
+            if do_sort:
+                # Wavefront compaction, dense-path flavor (VERDICT r4 #2):
+                # most boundary samples are invalid (measured 57% bss-valid
+                # on cbox, 7% unguided envmap — scripts/live_fraction.py /
+                # /tmp/se_stage), and the dense intersect kernels can only
+                # shed dead lanes at TILE granularity (parked lanes fail
+                # every cluster slab test; see intersect_pallas DENSE_PARK).
+                # Draws are pure functions of the lane id (counter-based
+                # pcg4d), so a cheap detached probe of bss.is_valid in raw
+                # order + ONE (key, lane, active) sort re-runs the body on
+                # liveness-sorted lanes with bitwise-identical per-lane
+                # values; the splat is scatter-by-pixel so result order is
+                # irrelevant.
+                sd_det = jax.lax.stop_gradient(sd)
+                probe = Sampler(seed + jnp.uint32(STREAM_SECONDARY), lane)
+                s3, _, sec, emc = draws(probe)
+                bss = sd_det.sample_boundary_segment_direct(
+                    s3, u_coin=sec, u_coin_emitter=emc
+                )
+                key = jnp.where(bss.is_valid & active, 0, 1).astype(
+                    jnp.int32)
+                _, lane, act_i = jax.lax.sort(
+                    (key, lane, active.astype(jnp.int32)), num_keys=1
+                )
+                active = act_i > 0
+            sampler = Sampler(seed + jnp.uint32(STREAM_SECONDARY), lane)
+            sample3, pdf0, se_coin, em_coin = draws(sampler)
+            if pdf0 is None:
+                pdf0 = jnp.ones(lane.shape, jnp.float32)
             idx, value = eval_secondary_edge(
                 sd, sd.sensors[sensor_id], sample3, diff=True,
                 u_coin=se_coin, u_coin_emitter=em_coin,

@@ -54,7 +54,23 @@ BVH_MIN_TRIS = int(_os.environ.get("PSDR_BVH_MIN_TRIS", "4096"))
 # ~700 triangles the scalars spill SMEM and the loop becomes
 # HBM-latency-bound (1000x collapse), so the cutoff stays conservative.
 SMALL_MAX_TRIS = 512
-R_ROWS_SMALL = 256    # 32768 rays per tile in the small-scene kernel
+# Rays per kernel tile = R_ROWS_SMALL * 128.  Finer tiles give the
+# cluster-cull (sweep_block any_hit) finer skip granularity and a smaller
+# VMEM working set per grid step; the per-grid-step overhead bounds the
+# win from below.  Swept interleaved on the cbox headline fused step
+# (scripts/rrows_ab.py, v5e 2026-08-20, losses bitwise-identical): 256 →
+# 522.4/521.3 ms/step (mean/min), 128 → ~520, 64 → 514.1/513.4, 32 →
+# ~518, 16 → ~525.  64 is the knee.
+R_ROWS_SMALL = int(_os.environ.get("PSDR_DENSE_ROWS", "64"))
+# Park dead lanes outside the scene AABB on the DENSE paths too (the BVH
+# path has always parked): a parked ray fails every cluster slab test, so
+# a tile of parked lanes skips every triangle loop.  Only useful when the
+# caller CONCENTRATES dead lanes into whole tiles — and the one caller
+# with a massively-dead lane set (the SE pass) measured the concentration
+# sort as a net loss (see integrator/base PSDR_SE_SORT refutation), so
+# parking defaults OFF; invalid-bss SE lanes carry NaN-ish directions
+# that miss every cluster anyway.
+DENSE_PARK = _os.environ.get("PSDR_DENSE_PARK", "0") != "0"
 # Cluster granularity: triangle counts pad up to a cluster and culling is
 # per cluster-AABB, so small clusters cut padding AND cull finer at ~25
 # extra VPU ops per slab test.  v5e A/B on cbox renderC depth=3
@@ -282,9 +298,10 @@ def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, active=None,
     Returns ``(tri_id, valid, uv, t)`` — the OptiX payload contract
     (scene_optix.cpp:400-404).  Triangle order should be cluster-friendly
     (the scene layer Morton-sorts at configure time); returned ids refer to
-    the order given here.  ``active`` is consumed only by the BVH path
-    (dead-lane parking); the dense kernels ignore it (a masked lane's
-    result is discarded by the caller and costs nothing extra here).
+    the order given here.  ``active``: dead lanes are PARKED outside the
+    scene AABB (BVH path: self-culling tiles; dense paths: every cluster
+    slab test fails, so all-dead tiles skip every triangle loop — callers
+    with low-validity lane sets sort lanes by liveness first).
 
     NOTE on hit selection: within a block, later-visited triangles win ties
     and equal-t races are broken by visit order (not lowest id); tri_id may
@@ -301,6 +318,22 @@ def ray_intersect_pallas(p0, e1, e2, ray_o, ray_d, active=None,
 
         return ray_intersect_bvh(p0, e1, e2, ray_o, ray_d, active=active,
                                  interpret=interpret)
+
+    if active is not None and DENSE_PARK:
+        hi_scene = jnp.max(
+            jnp.maximum(jnp.maximum(p0, p0 + e1), p0 + e2), axis=0
+        )
+        lo_scene = jnp.min(
+            jnp.minimum(jnp.minimum(p0, p0 + e1), p0 + e2), axis=0
+        )
+        park = hi_scene + 0.5 * jnp.maximum(hi_scene - lo_scene, 1.0)
+        # +z from above the scene top: tfar < 0 on the z slab of every
+        # cluster (same parking geometry as ops/bvh.py)
+        ray_o = jnp.where(active[:, None], ray_o, park)
+        ray_d = jnp.where(
+            active[:, None], ray_d,
+            jnp.asarray([0.0, 0.0, 1.0], ray_d.dtype),
+        )
 
     n = ray_o.shape[0]
     small = f <= SMALL_MAX_TRIS

@@ -78,8 +78,11 @@ def se_valid(sc, sppse, n_cap=1 << 18):
         se_coin = (sampler.next_1d()
                    if sd.sec_edge_distrb.needs_coin else None)
         em_coin = (sampler.next_1d() if sd.emitter_coin_needed else None)
+        # diff=True: the diff=False mode returns idx=-1 by design (the
+        # guiding-integrand path); validity is only exposed via the
+        # pixel idx of the differentiable path
         idx, value = eval_secondary_edge(
-            sd, sd.sensors[0], sample3, diff=False,
+            sd, sd.sensors[0], sample3, diff=True,
             u_coin=se_coin, u_coin_emitter=em_coin,
         )
         return (idx >= 0).mean(dtype=jnp.float32)

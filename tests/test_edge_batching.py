@@ -100,3 +100,33 @@ def test_pe_stack_finite_and_scaled():
     # estimator: totals agree to MC accuracy at these sample counts
     assert abs(a.sum() - b.sum()) < 0.5 * max(1.0, abs(a.sum())), (
         a.sum(), b.sum())
+
+
+def test_se_liveness_sort_matches_default():
+    """PSDR_SE_SORT=1 (liveness-sorted SE lanes + dense-path parking —
+    perf-refuted on the headline, scripts/rrows_ab.py, but the knob stays
+    for future workload classes) computes the SAME estimator: per-lane
+    draws are pure functions of the lane id, so sorting only permutes
+    scatter order (TPU A/B measured losses bitwise-identical)."""
+    from psdr_jit_tpu.ops import intersect_pallas as ip
+
+    sc = make_cbox(width=32, height=32, spp=0, sppe=0, sppse=8)
+    sc.configure()
+    integ = psdr.PathTracer(1)
+    mesh0 = sc.param_map["Mesh[0]"]
+
+    prev = (ibase._SE_SORT, ip.DENSE_PARK)
+    try:
+        ibase._SE_SORT = False
+        a = _se_grad_image(sc, integ, mesh0, False, seed=7)
+        ibase._SE_SORT = True
+        ip.DENSE_PARK = True
+        # DENSE_PARK is read inside the module-level ray_intersect_pallas
+        # jit: clear it so the parking branch actually re-traces
+        ip.ray_intersect_pallas.clear_cache()
+        b = _se_grad_image(sc, integ, mesh0, False, seed=7)
+    finally:
+        ibase._SE_SORT, ip.DENSE_PARK = prev
+        ip.ray_intersect_pallas.clear_cache()
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
