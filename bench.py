@@ -24,7 +24,10 @@ the last parseable line is always the most complete.  Optional sections:
   * ``envmap128_guided_*`` — BASELINE config #3 (Microfacet bunny + envmap),
   * ``large_scene_*`` — 100k-triangle gallery renderC through the BVH path,
   * ``bvh_grad_*`` — gallery-class fused fwd+bwd step, all three
-    estimators (the differentiable BVH-path metric, VERDICT r4 #7).
+    estimators (the differentiable BVH-path metric, VERDICT r4 #7),
+  * ``envmap128_meshgrad_*`` — the reference-parity envmap workload
+    (mesh gradient only; the reference never differentiates the
+    radiance table).
 A wall-clock budget (PSDR_BENCH_BUDGET_S, default 1500 s from process
 start) skips remaining sections and sets ``"truncated": true``.
 
@@ -301,7 +304,7 @@ def _time_jaxgrad(sc, integ, mesh, em):
     return dt
 
 
-def _time_envmap():
+def _time_envmap(mesh_grad_only: bool = False):
     """BASELINE config #3 workload: Microfacet bunny (4968 tris, streamed-
     SMEM intersect path) under the 1k ballroom envmap, all three estimators
     with 3D-guided secondary edges, one fused training step (grad w.r.t.
@@ -309,7 +312,14 @@ def _time_envmap():
     alias sampling, the bilinear texture fetches, and the >512-tri
     intersect regime that the cbox headline never touches.  Returns
     (ms_per_step, mrays) or None when the reference tutorial assets are
-    unavailable."""
+    unavailable.
+
+    ``mesh_grad_only``: the REFERENCE-PARITY variant — gradient w.r.t.
+    the bunny mesh only, which is what the reference's envmap tutorial
+    differentiates (Forward_AD_envmap.ipynb never differentiates the
+    radiance TABLE).  The default workload is strictly harder: the
+    512×1024×3 radiance-table gradient costs a measured ~75 ms/step of
+    scatter-adds at their floor (docs/PERFORMANCE.md round-5)."""
     from scenes import make_bunny_envmap
 
     res = 64 if _SMOKE else 128
@@ -330,10 +340,17 @@ def _time_envmap():
         _np.random.default_rng(0).random((res * res, 3)), jnp.float32
     )
 
-    def apply(p):
-        dv, dr = p
-        mesh.vertex_positions_raw = bv + dv
-        em.radiance = jax.tree_util.tree_map(jnp.add, br, dr)
+    if mesh_grad_only:
+        def apply(p):
+            mesh.vertex_positions_raw = bv + p
+        p0 = jnp.zeros_like(bv)
+    else:
+        def apply(p):
+            dv, dr = p
+            mesh.vertex_positions_raw = bv + dv
+            em.radiance = jax.tree_util.tree_map(jnp.add, br, dr)
+        p0 = (jnp.zeros_like(bv),
+              jax.tree_util.tree_map(jnp.zeros_like, br))
 
     def step(p, s, tgt, w):
         def ploss(rows, pix):
@@ -344,7 +361,6 @@ def _time_envmap():
 
     fn = jax.jit(step)
     warp = integ.warpper.get(0)
-    p0 = (jnp.zeros_like(bv), jax.tree_util.tree_map(jnp.zeros_like, br))
     dt = _time_fn(fn, lambda i: (p0, i, target, warp))
     mesh.vertex_positions_raw = bv
     em.radiance = br
@@ -491,6 +507,13 @@ def _sec_envmap(out):
         out["envmap128_guided_mrays"] = round(env[1], 3)
 
 
+def _sec_envmap_meshgrad(out):
+    env = _time_envmap(mesh_grad_only=True)
+    if env is not None:
+        out["envmap128_meshgrad_ms_step"] = round(env[0], 1)
+        out["envmap128_meshgrad_mrays"] = round(env[1], 3)
+
+
 def _sec_large(out):
     big = _time_large()
     out["large_scene_tris"] = big[2]
@@ -567,6 +590,7 @@ def main():
         ("envmap", _sec_envmap, 240),
         ("large", _sec_large, 180),
         ("bvh_grad", _sec_bvh_grad, 240),
+        ("envmap_meshgrad", _sec_envmap_meshgrad, 240),
     ):
         if _left() < min_s:
             out["truncated"] = True
