@@ -88,6 +88,20 @@ MAX_LIGHT_TRIS = 64       # light-table selects are unrolled in-kernel
 # always uses the general XLA path; PE/SE detached megakernel unaffected).
 INTERIOR_MODE = _os.environ.get("PSDR_MEGA_INTERIOR", "auto")
 
+# Hit-row packing around the shade kernel (r5 device profile,
+# docs/PERFORMANCE.md):
+#   "cat"  — legacy: ONE gather for all hits, then per-hit
+#            slice+concat(id,u,v)+pad into (33, rows, LANES) blocks.  The
+#            seven 12.9 MB concats lowered to ~26 ms/step of copies, the
+#            slices to ~8 ms, and the backward re-assembled the (30, 7n)
+#            cotangent with the mirror copies.
+#   "split" — per-hit gather_rows_t calls feeding (30, rows, LANES)
+#            blocks directly (reshape is layout-free); id/u/v ride as
+#            separate (rows, LANES) tiles.  No concat, no slice, and the
+#            backward scatters each hit's cotangent through its own MXU
+#            dot.
+SHADE_PACK = _os.environ.get("PSDR_SHADE_PACK", "split")
+
 
 def enabled():
     """-> (use, interpret) for the attached interior megakernel."""
@@ -146,11 +160,21 @@ def _row3(H, r):
 
 
 def _fields(H):
-    """Split one (HIT_ROWS, ...) per-hit block into named components.
+    """Split one per-hit block into named components.
 
-    The stash payload rows (id/u/v) and flag rows are detached by
+    ``H`` is either a legacy (HIT_ROWS, ...) array whose last three rows
+    carry the detached stash payload (id/u/v), or — the "split" packing —
+    a 4-tuple ``(H30 (TABLE_ROWS, ...), id, u, v)`` with the payload as
+    separate per-lane tiles.  Payload/flag components are detached by
     construction; the geometry/normal/material rows are attached."""
     sg = jax.lax.stop_gradient
+    if isinstance(H, tuple):
+        H, idf, uf, vf = H
+        valid = sg(idf) >= 0.0
+        u, v = sg(uf), sg(vf)
+    else:
+        valid = sg(H[ROW_ID]) >= 0.0
+        u, v = sg(H[ROW_U]), sg(H[ROW_V])
     return dict(
         p0=_row3(H, ROW_P0), e1=_row3(H, ROW_E1), e2=_row3(H, ROW_E2),
         n0=_row3(H, ROW_N0), n1=_row3(H, ROW_N1), n2=_row3(H, ROW_N2),
@@ -158,8 +182,7 @@ def _fields(H):
         fnmask=sg(H[ROW_FNMASK]) > 0.5,
         alb=_row3(H, ROW_ALB), emit=_row3(H, ROW_EMIT),
         isem=sg(H[ROW_ISEM]) > 0.5,
-        valid=sg(H[ROW_ID]) >= 0.0,
-        u=sg(H[ROW_U]), v=sg(H[ROW_V]),
+        valid=valid, u=u, v=v,
     )
 
 
@@ -358,16 +381,20 @@ def _li_attached(hits, light, misc, o, d, draws, act, depth: int,
 
 
 def _mk_shade_kernel(depth: int, cnt0: int, hide_emitters: bool,
-                     n_hits: int, want_vjp: bool):
+                     n_hits: int, want_vjp: bool, split: bool):
     def kernel(seed_ref, *refs):
         hit_refs = refs[:n_hits]
-        light_ref = refs[n_hits]
-        misc_ref = refs[n_hits + 1]
-        lane_ref = refs[n_hits + 2]
-        act_ref = refs[n_hits + 3]
-        o_refs = refs[n_hits + 4:n_hits + 7]
-        d_refs = refs[n_hits + 7:n_hits + 10]
-        pos = n_hits + 10
+        pos = n_hits
+        if split:
+            pl_refs = refs[pos:pos + 3 * n_hits]
+            pos += 3 * n_hits
+        light_ref = refs[pos]
+        misc_ref = refs[pos + 1]
+        lane_ref = refs[pos + 2]
+        act_ref = refs[pos + 3]
+        o_refs = refs[pos + 4:pos + 7]
+        d_refs = refs[pos + 7:pos + 10]
+        pos = pos + 10
         if want_vjp:
             ct_refs = refs[pos:pos + 3]
             pos += 3
@@ -385,14 +412,29 @@ def _mk_shade_kernel(depth: int, cnt0: int, hide_emitters: bool,
             draws.append(tuple(_u32_to_unit_float(u) for u in v))
 
         hits = tuple(r[...] for r in hit_refs)
+        if split:
+            # detached payload (id, u, v) tiles, closed over by the
+            # differentiated function — only the 30 attached table rows
+            # are vjp inputs
+            payloads = tuple(
+                (pl_refs[3 * k][...], pl_refs[3 * k + 1][...],
+                 pl_refs[3 * k + 2][...])
+                for k in range(n_hits)
+            )
+
+            def with_payload(hh):
+                return tuple((hh[k],) + payloads[k] for k in range(n_hits))
+        else:
+            def with_payload(hh):
+                return hh
         light = light_ref[...]
         misc = misc_ref[...]
         o = tuple(r[...] for r in o_refs)
         d = tuple(r[...] for r in d_refs)
 
         if not want_vjp:
-            r_, g_, b_ = _li_attached(hits, light, misc, o, d, draws, act,
-                                      depth, hide_emitters)
+            r_, g_, b_ = _li_attached(with_payload(hits), light, misc, o, d,
+                                      draws, act, depth, hide_emitters)
             out_refs[0][...] = r_
             out_refs[1][...] = g_
             out_refs[2][...] = b_
@@ -400,7 +442,8 @@ def _mk_shade_kernel(depth: int, cnt0: int, hide_emitters: bool,
 
         _, pull = jax.vjp(
             lambda hh, lt, mc, oo, dd: _li_attached(
-                hh, lt, mc, oo, dd, draws, act, depth, hide_emitters),
+                with_payload(hh), lt, mc, oo, dd, draws, act, depth,
+                hide_emitters),
             hits, light, misc, o, d,
         )
         cts = tuple(r[...] for r in ct_refs)
@@ -423,24 +466,31 @@ def _mk_shade_kernel(depth: int, cnt0: int, hide_emitters: bool,
     return kernel
 
 
-def _shade_call(hits_p, light, misc, o_comps, d_comps, lane2, act2, seed_arr,
-                cts, depth: int, cnt0: int, hide_emitters: bool,
+def _shade_call(hits_p, payloads, light, misc, o_comps, d_comps, lane2, act2,
+                seed_arr, cts, depth: int, cnt0: int, hide_emitters: bool,
                 interpret: bool):
+    split = len(payloads) > 0
     n_hits = len(hits_p)
     n_rows = lane2.shape[0]
     grid = (n_rows // R_ROWS_SHADE,)
     lw = light.shape[1]
     tile = pl.BlockSpec((R_ROWS_SHADE, LANES), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
-    hit_spec = pl.BlockSpec((HIT_ROWS, R_ROWS_SHADE, LANES),
+    hit_rows = TABLE_ROWS if split else HIT_ROWS
+    hit_spec = pl.BlockSpec((hit_rows, R_ROWS_SHADE, LANES),
                             lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM)
     light_spec = pl.BlockSpec((LIGHT_ROWS, lw), lambda i, *_: (0, 0),
                               memory_space=pltpu.VMEM)
     misc_spec = pl.BlockSpec((1, MISC_COLS), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM)
-    in_specs = [hit_spec] * n_hits + [light_spec, misc_spec] + [tile] * 8
-    args = list(hits_p) + [light, misc, lane2, act2,
-                           *o_comps, *d_comps]
+    in_specs = [hit_spec] * n_hits
+    args = list(hits_p)
+    if split:
+        for trip in payloads:
+            in_specs += [tile] * 3
+            args += list(trip)
+    in_specs += [light_spec, misc_spec] + [tile] * 8
+    args += [light, misc, lane2, act2, *o_comps, *d_comps]
     lanes_sd = jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)
     if cts is None:
         out_specs = [tile] * 3
@@ -451,7 +501,7 @@ def _shade_call(hits_p, light, misc, o_comps, d_comps, lane2, act2, seed_arr,
         out_specs = ([hit_spec] * n_hits + [light_spec, misc_spec]
                      + [tile] * 6)
         out_shape = (
-            [jax.ShapeDtypeStruct((HIT_ROWS, n_rows, LANES), jnp.float32)]
+            [jax.ShapeDtypeStruct((hit_rows, n_rows, LANES), jnp.float32)]
             * n_hits
             + [jax.ShapeDtypeStruct((LIGHT_ROWS, lw), jnp.float32),
                jax.ShapeDtypeStruct((1, MISC_COLS), jnp.float32)]
@@ -462,7 +512,8 @@ def _shade_call(hits_p, light, misc, o_comps, d_comps, lane2, act2, seed_arr,
         in_specs=in_specs, out_specs=out_specs,
     )
     return pl.pallas_call(
-        _mk_shade_kernel(depth, cnt0, hide_emitters, n_hits, cts is not None),
+        _mk_shade_kernel(depth, cnt0, hide_emitters, n_hits, cts is not None,
+                         split),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -474,22 +525,28 @@ def _shade_call(hits_p, light, misc, o_comps, d_comps, lane2, act2, seed_arr,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _shade(depth, cnt0, hide_emitters, interpret,
-           hits_p, light, misc, o_comps, d_comps, lane2, act2, seed_arr):
+           hits_p, payloads, light, misc, o_comps, d_comps, lane2, act2,
+           seed_arr):
     """Attached interior radiometry, (r, g, b) per-lane blocks.
 
     Reverse-differentiable w.r.t. ``hits_p``/``light``/``misc``/ray
     components (the backward Pallas kernel derives the whole transpose via
-    in-kernel ``jax.vjp``); integer operands get float0 cotangents."""
-    return _shade_call(hits_p, light, misc, o_comps, d_comps, lane2, act2,
-                       seed_arr, None, depth, cnt0, hide_emitters, interpret)
+    in-kernel ``jax.vjp``); integer operands get float0 cotangents and the
+    detached ``payloads`` (split packing: per-hit id/u/v tiles, empty
+    tuple for legacy packing) get zeros."""
+    return _shade_call(hits_p, payloads, light, misc, o_comps, d_comps,
+                       lane2, act2, seed_arr, None, depth, cnt0,
+                       hide_emitters, interpret)
 
 
 def _shade_fwd(depth, cnt0, hide_emitters, interpret,
-               hits_p, light, misc, o_comps, d_comps, lane2, act2, seed_arr):
-    out = _shade_call(hits_p, light, misc, o_comps, d_comps, lane2, act2,
-                      seed_arr, None, depth, cnt0, hide_emitters, interpret)
-    return out, (hits_p, light, misc, o_comps, d_comps, lane2, act2,
-                 seed_arr)
+               hits_p, payloads, light, misc, o_comps, d_comps, lane2, act2,
+               seed_arr):
+    out = _shade_call(hits_p, payloads, light, misc, o_comps, d_comps,
+                      lane2, act2, seed_arr, None, depth, cnt0,
+                      hide_emitters, interpret)
+    return out, (hits_p, payloads, light, misc, o_comps, d_comps, lane2,
+                 act2, seed_arr)
 
 
 def _float0_like(x):
@@ -497,17 +554,21 @@ def _float0_like(x):
 
 
 def _shade_bwd(depth, cnt0, hide_emitters, interpret, res, cts):
-    (hits_p, light, misc, o_comps, d_comps, lane2, act2, seed_arr) = res
-    out = _shade_call(hits_p, light, misc, o_comps, d_comps, lane2, act2,
-                      seed_arr, tuple(cts), depth, cnt0, hide_emitters,
-                      interpret)
+    (hits_p, payloads, light, misc, o_comps, d_comps, lane2, act2,
+     seed_arr) = res
+    out = _shade_call(hits_p, payloads, light, misc, o_comps, d_comps,
+                      lane2, act2, seed_arr, tuple(cts), depth, cnt0,
+                      hide_emitters, interpret)
     n_hits = len(hits_p)
     d_hits = tuple(out[:n_hits])
     d_light = out[n_hits]
     d_misc = out[n_hits + 1]
     d_o = tuple(out[n_hits + 2:n_hits + 5])
     d_d = tuple(out[n_hits + 5:n_hits + 8])
-    return (d_hits, d_light, d_misc, d_o, d_d,
+    # payload tiles are detached (stop_gradient at _fields): zero
+    # cotangents, DCE'd upstream (their producers sit under stop_gradient)
+    d_payloads = jax.tree_util.tree_map(jnp.zeros_like, payloads)
+    return (d_hits, d_payloads, d_light, d_misc, d_o, d_d,
             _float0_like(lane2), _float0_like(act2), _float0_like(seed_arr))
 
 
@@ -597,24 +658,45 @@ def li_interior(sd, ray, active, lane, seed, depth: int, cnt0: int,
                 [x, jnp.full((n_pad - n,), fill, x.dtype)], axis=0)
         return x
 
-    # ONE one-hot MXU gather for all hits' attached rows, transposed layout
     n_hits = len(hits)
-    idx_cat = jnp.concatenate(
-        [jnp.maximum(h[0], 0) for h in hits], axis=0)     # (n_hits*n,)
-    rows_cat = gather_rows_t(table, idx_cat)              # (TABLE_ROWS, HN)
-    hits_p = []
-    for k, (hid, hu, hv) in enumerate(hits):
-        rows_t = rows_cat[:, k * n:(k + 1) * n]
-        block = jnp.concatenate([
-            rows_t,
-            hid.astype(jnp.float32)[None, :],
-            hu[None, :], hv[None, :],
-        ], axis=0)                                        # (HIT_ROWS, n)
-        if n_pad != n:
-            fill = jnp.zeros((HIT_ROWS, n_pad - n), jnp.float32)
-            fill = fill.at[ROW_ID].set(-1.0)
-            block = jnp.concatenate([block, fill], axis=1)
-        hits_p.append(block.reshape(HIT_ROWS, n_rows, LANES))
+    if SHADE_PACK == "split":
+        # Per-hit gathers feeding (TABLE_ROWS, rows, LANES) blocks
+        # directly; id/u/v ride as separate tiles.  The legacy single
+        # concatenated gather spent ~26 ms/step materializing seven
+        # 12.9 MB concat copies (plus their backward mirrors) on the
+        # headline — the reshape below is layout-free (docs/PERFORMANCE.md
+        # round-5).
+        hits_p, payloads = [], []
+        for hid, hu, hv in hits:
+            rows_t = gather_rows_t(table, jnp.maximum(hid, 0))  # (30, n)
+            if n_pad != n:
+                rows_t = jnp.pad(rows_t, ((0, 0), (0, n_pad - n)))
+            hits_p.append(rows_t.reshape(TABLE_ROWS, n_rows, LANES))
+            payloads.append((
+                pad1(hid.astype(jnp.float32), -1.0).reshape(n_rows, LANES),
+                pad1(hu, 0.0).reshape(n_rows, LANES),
+                pad1(hv, 0.0).reshape(n_rows, LANES),
+            ))
+        payloads = tuple(payloads)
+    else:
+        # ONE one-hot MXU gather for all hits' rows, concatenated layout
+        idx_cat = jnp.concatenate(
+            [jnp.maximum(h[0], 0) for h in hits], axis=0)  # (n_hits*n,)
+        rows_cat = gather_rows_t(table, idx_cat)           # (TABLE_ROWS, HN)
+        hits_p = []
+        for k, (hid, hu, hv) in enumerate(hits):
+            rows_t = rows_cat[:, k * n:(k + 1) * n]
+            block = jnp.concatenate([
+                rows_t,
+                hid.astype(jnp.float32)[None, :],
+                hu[None, :], hv[None, :],
+            ], axis=0)                                     # (HIT_ROWS, n)
+            if n_pad != n:
+                fill = jnp.zeros((HIT_ROWS, n_pad - n), jnp.float32)
+                fill = fill.at[ROW_ID].set(-1.0)
+                block = jnp.concatenate([block, fill], axis=1)
+            hits_p.append(block.reshape(HIT_ROWS, n_rows, LANES))
+        payloads = ()
 
     o_comps = tuple(
         pad1(ro[:, k], 0.0).reshape(n_rows, LANES) for k in range(3))
@@ -625,7 +707,7 @@ def li_interior(sd, ray, active, lane, seed, depth: int, cnt0: int,
 
     r_, g_, b_ = _shade(
         depth, cnt0, hide_emitters, interpret,
-        tuple(hits_p), light, misc, o_comps, d_comps, lane2, act2,
+        tuple(hits_p), payloads, light, misc, o_comps, d_comps, lane2, act2,
         jnp.asarray(seed, jnp.uint32),
     )
     out = jnp.stack(
