@@ -70,6 +70,13 @@ from .gather import gather_rows, gather_rows_t
 
 _TINY = 1e-20
 R_ROWS_SHADE = 16  # rays per tile row block (VMEM: vjp residuals dominate)
+# the FORWARD kernel holds no vjp residuals, so its tile can be larger
+# (scoped-VMEM bound ~16 MB: 7 hit blocks x 30 rows x R x 128 x 4 B).
+# Swept 16/32/64 interleaved on the headline (2026-08-21): a wash
+# (456.8/456.5/456.9 ms min) — the forward kernel is not tile-bound.
+# Backward at 32 rows fails to compile (scoped-VMEM OOM), 8 is a wash.
+R_ROWS_SHADE_FWD = int(_os.environ.get("PSDR_SHADE_FWD_ROWS",
+                                       str(R_ROWS_SHADE)))
 
 # -- per-hit packed row layout (fields-major, see li_interior) -------------
 ROW_P0, ROW_E1, ROW_E2 = 0, 3, 6
@@ -472,12 +479,16 @@ def _shade_call(hits_p, payloads, light, misc, o_comps, d_comps, lane2, act2,
     split = len(payloads) > 0
     n_hits = len(hits_p)
     n_rows = lane2.shape[0]
-    grid = (n_rows // R_ROWS_SHADE,)
-    lw = light.shape[1]
-    tile = pl.BlockSpec((R_ROWS_SHADE, LANES), lambda i, *_: (i, 0),
+    r_rows = R_ROWS_SHADE if cts is not None else min(
+        R_ROWS_SHADE_FWD, n_rows)
+    while n_rows % r_rows:
+        r_rows //= 2
+    grid = (n_rows // r_rows,)
+    tile = pl.BlockSpec((r_rows, LANES), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
+    lw = light.shape[1]
     hit_rows = TABLE_ROWS if split else HIT_ROWS
-    hit_spec = pl.BlockSpec((hit_rows, R_ROWS_SHADE, LANES),
+    hit_spec = pl.BlockSpec((hit_rows, r_rows, LANES),
                             lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM)
     light_spec = pl.BlockSpec((LIGHT_ROWS, lw), lambda i, *_: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -671,6 +682,10 @@ def li_interior(sd, ray, active, lane, seed, depth: int, cnt0: int,
             rows_t = gather_rows_t(table, jnp.maximum(hid, 0))  # (30, n)
             if n_pad != n:
                 rows_t = jnp.pad(rows_t, ((0, 0), (0, n_pad - n)))
+            # NOTE: the (30, n) -> (30, n_rows, LANES) relayout costs one
+            # bandwidth-bound copy per hit per kernel (~24 ms/step total,
+            # r5 profile); an optimization_barrier to share one
+            # materialization measured no change (455.3 vs 455.2 min).
             hits_p.append(rows_t.reshape(TABLE_ROWS, n_rows, LANES))
             payloads.append((
                 pad1(hid.astype(jnp.float32), -1.0).reshape(n_rows, LANES),

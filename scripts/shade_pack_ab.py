@@ -27,8 +27,9 @@ def force(x):
     return float(jax.tree_util.tree_leaves(x)[0].sum())
 
 
-def build(pack):
+def build(pack, rows=16):
     shade_mega.SHADE_PACK = pack
+    shade_mega.R_ROWS_SHADE = rows
     sc = make_cbox(width=512, height=512, spp=32, sppe=32, sppse=32)
     sc.configure()
     integ = psdr.PathTracer(max_depth=3)
@@ -60,16 +61,21 @@ def build(pack):
 
 
 def main():
+    import os
+    variants = os.environ.get("AB_VARIANTS", "cat/16,split/16").split(",")
     fns, losses, grads = {}, {}, {}
-    for pack in ("cat", "split"):
-        fns[pack], losses[pack], grads[pack] = build(pack)
-    rel = abs(losses["split"] - losses["cat"]) / (abs(losses["cat"]) + 1e-12)
-    grel = max(
-        float(np.abs(a - b).sum() / (np.abs(a).sum() + 1e-12))
-        for a, b in zip(grads["cat"], grads["split"])
-    )
-    print(f"loss rel cat-vs-split: {rel:.2e}  grad rel: {grel:.2e}",
-          flush=True)
+    for v in variants:
+        pack, rows = v.split("/")
+        fns[v], losses[v], grads[v] = build(pack, int(rows))
+    base = variants[0]
+    for v in variants[1:]:
+        rel = abs(losses[v] - losses[base]) / (abs(losses[base]) + 1e-12)
+        grel = max(
+            float(np.abs(a - b).sum() / (np.abs(a).sum() + 1e-12))
+            for a, b in zip(grads[base], grads[v])
+        )
+        print(f"loss rel {v} vs {base}: {rel:.2e}  grad rel: {grel:.2e}",
+              flush=True)
 
     for f, *_ in [(fns[p],) for p in fns]:
         pass
