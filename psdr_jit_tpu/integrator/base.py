@@ -147,7 +147,12 @@ def _remat(fn):
 # bf16-transpose), (interior, edge) in ms/step: (128k,32k) 713.5,
 # (64k,32k) 719.2, (128k,64k) 732.4, (64k,64k) 736.8, (128k,128k) 837.8,
 # (128k,16k) 854.5 (scan overhead), (256k,32k) 758.7, 1M+ far worse.
-CHUNK_LANES = int(_os.environ.get("PSDR_CHUNK_LANES", 96 * 1024))
+# RE-SWEPT after the r5 split hit-row packing (which shrank the per-chunk
+# XLA machinery the old 96k optimum amortized): interleaved headline
+# means 96k 457.0, 128k 457.1, 192k 467.7, 64k 450.2-452.4, 48k 443.6,
+# 32k 442.6-443.7, 24k 442.3, 16k 444.2 — a 24-48k plateau; 32k adopted
+# (/tmp chunk_resweep logs, 2026-08-21).
+CHUNK_LANES = int(_os.environ.get("PSDR_CHUNK_LANES", 32 * 1024))
 EDGE_CHUNK_LANES = int(
     _os.environ.get("PSDR_EDGE_CHUNK_LANES", 1 << 15)
 )
